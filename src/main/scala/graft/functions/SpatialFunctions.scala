@@ -1,0 +1,109 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.graftbridge.{ColumnBridge => ExpressionUtils}
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types._
+import graft.index.CellSpace
+
+/** Custom codegen'd Catalyst expressions for the engine's hot scalar ops:
+  * Morton keys, cell ids, and the exact point-in-polygon test. All stay
+  * inside whole-stage codegen (doGenCode emits a static call into our
+  * library — no boxing, no UDF serialization).
+  */
+
+/** 64-bit Morton (Z-order) key of two double coordinates normalized into
+  * `space` — the engine's clustering key (reference semantic:
+  * filters.mortonorder, MortonOrderFilter.cpp:64-123, normalize then
+  * most-significant-bit-interleave ordering). */
+case class MortonKey(left: Expression, right: Expression, space: CellSpace)
+    extends BinaryExpression with Serializable {
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "morton_key"
+  override protected def nullSafeEval(x: Any, y: Any): Any = {
+    val ix = space.ixAt(x.asInstanceOf[Double])
+    val iy = space.iyAt(y.asInstanceOf[Double])
+    graft.index.Morton.interleave(ix, iy)
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val sp = ctx.addReferenceObj("space", space, classOf[CellSpace].getName)
+    nullSafeCodeGen(ctx, ev, (x, y) =>
+      s"${ev.value} = graft.index.Morton.interleave($sp.ixAt($x), $sp.iyAt($y));")
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** Level-tagged cell id containing (x, y) at `level` on the resolution
+  * ladder — the partition/join key of every spatial operator. */
+case class CellId(left: Expression, right: Expression, space: CellSpace, level: Int)
+    extends BinaryExpression with Serializable {
+  require(level >= 0 && level <= CellSpace.MaxLevel, s"bad level $level")
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "cell_id"
+  override protected def nullSafeEval(x: Any, y: Any): Any =
+    space.cellAt(x.asInstanceOf[Double], y.asInstanceOf[Double], level)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val sp = ctx.addReferenceObj("space", space, classOf[CellSpace].getName)
+    nullSafeCodeGen(ctx, ev, (x, y) =>
+      s"${ev.value} = $sp.cellAt($x, $y, $level);")
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** Exact point-in-polygon against a constant geometry (WKB), via an
+  * executor-side PreparedGeometry cache — the Spark twin of the
+  * reference's prepared-GEOS-contains per point (CropFilter.cpp:242-270)
+  * with preparation hoisted out of the row loop (CropFilter.cpp:137-142).
+  * The WKB literal rides the plan; each executor prepares once. */
+case class STContainsXY(left: Expression, right: Expression, wkb: Array[Byte])
+    extends BinaryExpression with Serializable {
+  override def dataType: DataType = BooleanType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "st_contains_xy"
+  override protected def nullSafeEval(x: Any, y: Any): Any =
+    graft.index.GeomCache.containsXY(wkb, x.asInstanceOf[Double], y.asInstanceOf[Double])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val bytes = ctx.addReferenceObj("wkb", wkb, "byte[]")
+    nullSafeCodeGen(ctx, ev, (x, y) =>
+      s"${ev.value} = graft.index.GeomCache.containsXY($bytes, $x, $y);")
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** Point-in-polygon where the geometry arrives as a WKB column (the
+  * attribute join's per-feature geometry). The executor-side cache still
+  * prepares each distinct geometry once. */
+case class STContainsDyn(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression with Serializable {
+  override def dataType: DataType = BooleanType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "st_contains_dyn"
+  override protected def nullSafeEval(wkb: Any, x: Any, y: Any): Any =
+    graft.index.GeomCache.containsXY(wkb.asInstanceOf[Array[Byte]],
+      x.asInstanceOf[Double], y.asInstanceOf[Double])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (w, x, y) =>
+      s"${ev.value} = graft.index.GeomCache.containsXY($w, $x, $y);")
+  override protected def withNewChildrenInternal(f: Expression, s: Expression, t: Expression): Expression =
+    copy(first = f, second = s, third = t)
+}
+
+object SpatialFunctions {
+  private def expr(c: Column): Expression = ExpressionUtils.expression(c)
+  private def col(e: Expression): Column = ExpressionUtils.column(e)
+
+  def mortonKey(x: Column, y: Column, space: CellSpace = CellSpace.default): Column =
+    col(MortonKey(expr(x), expr(y), space))
+
+  def cellId(x: Column, y: Column, level: Int, space: CellSpace = CellSpace.default): Column =
+    col(CellId(expr(x), expr(y), space, level))
+
+  def stContainsXY(wkb: Array[Byte], x: Column, y: Column): Column =
+    col(STContainsXY(expr(x), expr(y), wkb))
+}

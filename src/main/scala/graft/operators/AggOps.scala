@@ -1,0 +1,93 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Column}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Aggregation operators. All are partial+final hash aggregates (map-side
+  * combine for free); none needs more than one shuffle. */
+object AggOps {
+
+  /** filters.stats — per-dimension count/min/max/mean (streaming Welford
+    * mean in the reference, StatsFilter.hpp:77-86 — Spark's partial/final
+    * avg is the distributed equivalent). One row per dimension, matching
+    * the reference's per-dim Summary objects. `enumerate` dims get their
+    * exact distinct value set (StatsFilter.hpp:85,94 uses std::set —
+    * exact, not approximate; at scale swap to approx_count_distinct). */
+  def stats(dims: Seq[String], enumerate: Set[String] = Set.empty)(df: DataFrame): DataFrame = {
+    val perDim = dims.map { d =>
+      val c = col(d).cast(DoubleType)
+      df.agg(
+        count(c).as("count"), min(c).as("min"), max(c).as("max"), avg(c).as("avg"),
+        (if (enumerate(d)) sort_array(collect_set(c)) else lit(null).cast(ArrayType(DoubleType)))
+          .as("values"))
+        .select(lit(d).as("dim"), col("count"), col("min"), col("max"), col("avg"), col("values"))
+    }
+    perDim.reduce(_ unionByName _)
+  }
+
+  /** VoxelGrid downsample (PCL semantics via filters.pclblock,
+    * PCLPipeline.hpp:328-349): one output point per occupied leaf box,
+    * at the centroid of the points in it. */
+  def voxelGrid(lx: Double, ly: Double, lz: Double)(df: DataFrame): DataFrame = {
+    df.groupBy(
+      floor(col("x") / lx).as("vx"),
+      floor(col("y") / ly).as("vy"),
+      floor(col("z") / lz).as("vz"))
+      .agg(avg("x").as("x"), avg("y").as("y"), avg("z").as("z"),
+        count(lit(1)).as("n"))
+  }
+
+  /** GridMinimum (PCLPipeline.hpp:351-366): one point per 2-D grid cell —
+    * the full row of the minimum-z point. min_by keeps whole-row
+    * semantics in a single hash aggregate (no window shuffle). Ties
+    * broken deterministically by (z, doc_id, span_idx). */
+  def gridMinimum(cellSize: Double)(df: DataFrame): DataFrame = {
+    val ord = struct(col("z"), col("doc_id"), col("span_idx"))
+    df.groupBy(
+      floor(col("x") / cellSize).as("gx"),
+      floor(col("y") / cellSize).as("gy"))
+      .agg(min_by(struct(df.columns.map(col): _*), ord).as("p"))
+      .select(col("gx"), col("gy"), col("p.*"))
+  }
+
+  /** writers.p2g — vector -> raster interpolation (P2gWriter.cpp:159-225):
+    * grid the plane at (dx, dy) anchored at the data minimum; per output
+    * cell emit min/max/mean/idw/count/std of z over all points within
+    * `radius` of the cell center. The radius neighborhood is realized as
+    * a spatial expand-join: each point flatMaps to every cell whose
+    * center it can influence (a (2k+1)^2 explode, k = ceil(radius/d)),
+    * then one hash aggregate — no pairwise join, no window.
+    *
+    * IDW = sum(z/dist) / sum(1/dist) per cell (the p2g InterpInterface
+    * semantics). Points exactly on a cell center contribute their z with
+    * infinite weight; guarded with a small epsilon like p2g's grid code.
+    */
+  def p2gRaster(dx: Double, dy: Double, radius: Double,
+                originX: Double, originY: Double)(df: DataFrame): DataFrame = {
+    val kx = math.max(0, math.ceil(radius / dx - 0.5).toInt)
+    val ky = math.max(0, math.ceil(radius / dy - 0.5).toInt)
+    val offsets = for { ox <- -kx to kx; oy <- -ky to ky } yield (ox, oy)
+    val offArr = array(offsets.map(o => struct(lit(o._1).as("ox"), lit(o._2).as("oy"))): _*)
+    val base = df.select(col("x"), col("y"), col("z"),
+      floor((col("x") - originX) / dx).cast(LongType).as("cx0"),
+      floor((col("y") - originY) / dy).cast(LongType).as("cy0"))
+    val expanded = base
+      .withColumn("o", explode(offArr))
+      .select(col("x"), col("y"), col("z"),
+        (col("cx0") + col("o.ox")).as("px"), (col("cy0") + col("o.oy")).as("py"))
+      // cell center distance gate (exact radius semantics)
+      .withColumn("cxc", (col("px") + 0.5) * dx + originX)
+      .withColumn("cyc", (col("py") + 0.5) * dy + originY)
+      .withColumn("dist", sqrt(pow(col("x") - col("cxc"), 2) + pow(col("y") - col("cyc"), 2)))
+      .filter(col("dist") <= radius)
+    val eps = 1e-12
+    expanded.groupBy(col("px"), col("py"))
+      .agg(
+        count(lit(1)).as("den"),
+        min("z").as("zmin"), max("z").as("zmax"), avg("z").as("zmean"),
+        stddev_pop("z").as("zstd"),
+        (sum(col("z") / greatest(col("dist"), lit(eps))) /
+          sum(lit(1.0) / greatest(col("dist"), lit(eps)))).as("zidw"))
+  }
+}

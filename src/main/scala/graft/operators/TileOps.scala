@@ -1,0 +1,205 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Column}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.expressions.Window
+import graft.functions.SpatialFunctions
+import graft.index.CellSpace
+
+/** Tiling operators: fixed-grid splitter, capacity-balanced chipper,
+  * LOD pyramid, hex density. These produce the `tile` grouping column
+  * that replaces the reference's one-PointView-per-tile fan-out
+  * (SplitterFilter.cpp:92-128) with a partition key — the idiomatic
+  * Spark shape for "N small views".
+  */
+object TileOps {
+
+  /** filters.splitter — overlay a square grid of side `length` anchored
+    * at `origin`; tile coords are C-style int TRUNCATION toward zero of
+    * (v - origin) / length, NOT floor (reference SplitterFilter.cpp:109-115
+    * does `int xpos = (x - m_xOrigin) / m_length`): points left of the
+    * origin land in tile 0 together with the first positive cell. Spark's
+    * double->int cast truncates the same way. Origin defaults to the
+    * first point (SplitterFilter.cpp:102-106) — that choice is inherently
+    * order-dependent, so callers at scale should pass it explicitly.
+    */
+  def splitter(length: Double, originX: Double, originY: Double)(df: DataFrame): DataFrame = {
+    df.withColumn("tile_x", ((col("x") - lit(originX)) / lit(length)).cast(IntegerType))
+      .withColumn("tile_y", ((col("y") - lit(originY)) / lit(length)).cast(IntegerType))
+  }
+
+  /** Tile summary (one row per non-empty tile) — the golden-fixture shape
+    * (SplitterTest.cpp:92-100 asserts per-tile counts). */
+  def tileCounts(length: Double, originX: Double, originY: Double)(df: DataFrame): DataFrame =
+    splitter(length, originX, originY)(df)
+      .groupBy(col("tile_x"), col("tile_y"))
+      .agg(count(lit(1)).as("n"), min(col("x")).as("minx"), min(col("y")).as("miny"),
+        max(col("x")).as("maxx"), max(col("y")).as("maxy"))
+
+  /** filters.chipper — capacity-balanced spatial tiling
+    * (ChipperFilter.cpp:39-68 algorithm description): recursively split
+    * the point set along the wider axis at "cumulate and round" rank
+    * boundaries (partition i boundary = lround(i * n / m), m = ceil(n /
+    * capacity), ChipperFilter.cpp:153-173) until each leaf covers one
+    * partition. Chip sizes reproduce the reference exactly because rank
+    * selection is exact (window row_number per node, stable tiebreak on
+    * original point order, matching the reference's stable_sort).
+    *
+    * Distributed shape: log2(m) rounds, each = one per-node range
+    * aggregate (tiny, collected) + one window shuffle keyed by node.
+    * At very large m, swap `exactRanks = false`-style sampling in; the
+    * contract (<= capacity, spatially contiguous, squarish) survives
+    * approximation — only exact size parity needs exact ranks.
+    *
+    * Returns df + `chip` column (0-based chip ordinal in partition
+    * order along the recursion, which equals the reference's emit order).
+    */
+  def chipper(capacity: Long)(df0: DataFrame): DataFrame = {
+    val df = df0.cache()
+    val n = df.count()
+    if (n == 0) return df.withColumn("chip", lit(0))
+    val m = ((n + capacity - 1) / capacity).toInt
+    // partition boundary i (0..m): lround(i * n / m) — computed lazily,
+    // never materialized (O(1) per lookup, scale-safe).
+    def bound(i: Int): Long = math.round(i.toDouble * n / m)
+
+    // node encoding: (pl, pr) partition-index range; root = (0, m).
+    // Active nodes tracked on the driver (final count = m).
+    final case class Node(pl: Int, pr: Int) { def leaf: Boolean = pr - pl == 1 }
+    var nodes = Map(0L -> Node(0, m))
+    var cur = df.withColumn("__node", lit(0L))
+
+    while (nodes.values.exists(!_.leaf)) {
+      val activeIds = nodes.filter(!_._2.leaf).keySet
+      // 1. per-node coordinate ranges (driver-collected; <= #nodes rows)
+      val ranges = cur.filter(col("__node").isin(activeIds.toSeq: _*))
+        .groupBy(col("__node"))
+        .agg(min("x").as("minx"), max("x").as("maxx"),
+          min("y").as("miny"), max("y").as("maxy"))
+        .collect()
+        .map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+        .toMap
+      // 2. per-node split decision: wider axis (x iff xrange > yrange,
+      //    ChipperFilter.cpp:185-192) + rank threshold
+      val decisions = activeIds.toSeq.map { id =>
+        val Node(pl, pr) = nodes(id)
+        val (mnx, mxx, mny, mxy) = ranges(id)
+        val splitOnX = (mxx - mnx) > (mxy - mny)
+        val pc = (pl + pr) / 2
+        val thresh = bound(pc) - bound(pl) // # points going left
+        (id, splitOnX, thresh)
+      }
+      val axisByNode = map(decisions.flatMap { case (id, ax, _) =>
+        Seq(lit(id), lit(ax)) }: _*)
+      val threshByNode = map(decisions.flatMap { case (id, _, t) =>
+        Seq(lit(id), lit(t)) }: _*)
+      // 3. window rank within node along chosen axis, stable tiebreak
+      val axisVal = when(axisByNode(col("__node")), col("x")).otherwise(col("y"))
+      val w = Window.partitionBy(col("__node"))
+        .orderBy(axisVal.asc, col("doc_id").asc, col("span_idx").asc)
+      cur = cur
+        .withColumn("__rank", row_number().over(w) - 1)
+        .withColumn("__node",
+          // leaf-node rows (no entry in the decision maps) keep their node
+          when(threshByNode(col("__node")).isNull, col("__node"))
+            .when(col("__rank") < threshByNode(col("__node")), col("__node") * 2 + 1)
+            .otherwise(col("__node") * 2 + 2))
+        .drop("__rank")
+      nodes = nodes.flatMap { case (id, nd) =>
+        if (nd.leaf) Seq(id -> nd)
+        else {
+          val pc = (nd.pl + nd.pr) / 2
+          Seq(id * 2 + 1 -> Node(nd.pl, pc), id * 2 + 2 -> Node(pc, nd.pr))
+        }
+      }
+      cur = cur.localCheckpoint(eager = false)
+    }
+    // chip ordinal = leaf's pl (partition index) — contiguous 0..m-1
+    val chipByNode = map(nodes.toSeq.flatMap { case (id, nd) =>
+      Seq(lit(id), lit(nd.pl)) }: _*)
+    cur.withColumn("chip", chipByNode(col("__node"))).drop("__node")
+  }
+
+  /** writers.rialto's LOD pyramid (RialtoCommon.cpp:79-94): level L of a
+    * `maxLevel`-deep pyramid keeps every 4^(maxLevel-L)-th point (by
+    * positional ordinal) and tags it with its level-L cell. One pass,
+    * no driver loop: explode the level sequence, filter by the skip rule
+    * (a deterministic pushable predicate — the "LOD ladder"). */
+  def lodPyramid(maxLevel: Int, space: CellSpace = CellSpace.default,
+                 ordinal: String = "span_idx")(df: DataFrame): DataFrame = {
+    df.withColumn("level", explode(sequence(lit(0), lit(maxLevel))))
+      .filter(col(ordinal) % pow(lit(4.0), lit(maxLevel) - col("level")).cast(LongType) === 0)
+      .withColumn("cell",
+        // cellAt(level) for each row's level: shift the max-res morton key
+        // down 2 bits per level difference, then level-tag (CellSpace.pack)
+        call_function("shiftleft",
+          call_function("shiftright",
+            SpatialFunctions.mortonKey(col("x"), col("y"), space),
+            (lit(CellSpace.MaxLevel) - col("level")) * 2),
+          lit(6)).bitwiseOR(col("level").cast(LongType)))
+  }
+
+  /** filters.hexbin — per-hex density (HexBin.cpp:78-146). Hex cell id
+    * from axial coordinates with cube rounding (standard public hex-grid
+    * math); `edge` is the hexagon edge length. Returns one row per
+    * non-empty hex with its density — the aggregated form from which the
+    * boundary multipolygon is traced driver-side (it is O(#hexes)). */
+  def hexDensity(edge: Double)(df: DataFrame): DataFrame = {
+    df.withColumn("hex", HexGrid.hexCellCol(col("x"), col("y"), edge))
+      .groupBy(col("hex"))
+      .agg(count(lit(1)).as("density"))
+      .select(col("hex"), HexGrid.hexQ(col("hex")).as("hex_q"),
+        HexGrid.hexR(col("hex")).as("hex_r"), col("density"))
+  }
+}
+
+/** Pointy-top axial hex grid with cube rounding — standard public
+  * hexagonal-grid mathematics (Amit Patel's hex grid reference pages /
+  * hexer's tessellation). */
+object HexGrid {
+  /** Axial (q, r) of the hex containing (x, y), packed q<<32|r (each
+    * int32). */
+  def hexCell(x: Double, y: Double, edge: Double): Long = {
+    val qf = (math.sqrt(3.0) / 3.0 * x - y / 3.0) / edge
+    val rf = (2.0 / 3.0 * y) / edge
+    // cube round
+    val xf = qf; val zf = rf; val yf = -xf - zf
+    var rx = math.round(xf).toDouble
+    var ry = math.round(yf).toDouble
+    var rz = math.round(zf).toDouble
+    val dx = math.abs(rx - xf); val dy = math.abs(ry - yf); val dz = math.abs(rz - zf)
+    if (dx > dy && dx > dz) rx = -ry - rz
+    else if (dy > dz) ry = -rx - rz
+    else rz = -rx - ry
+    ((rx.toLong & 0xffffffffL) << 32) | (rz.toLong & 0xffffffffL)
+  }
+  def q(cell: Long): Int = (cell >> 32).toInt
+  def r(cell: Long): Int = cell.toInt
+
+  import org.apache.spark.sql.graftbridge.{ColumnBridge => ExpressionUtils}
+  import org.apache.spark.sql.catalyst.expressions.{Expression, TernaryExpression}
+  import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+
+  case class HexCellExpr(first: Expression, second: Expression, third: Expression)
+      extends TernaryExpression with Serializable {
+    override def dataType: DataType = LongType
+    override def nullIntolerant: Boolean = true
+    override def prettyName: String = "hex_cell"
+    override protected def nullSafeEval(x: Any, y: Any, e: Any): Any =
+      hexCell(x.asInstanceOf[Double], y.asInstanceOf[Double], e.asInstanceOf[Double])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (x, y, e) =>
+        s"${ev.value} = graft.operators.HexGrid.hexCell($x, $y, $e);")
+    override protected def withNewChildrenInternal(f: Expression, s: Expression, t: Expression): Expression =
+      copy(first = f, second = s, third = t)
+  }
+
+  def hexCellCol(x: Column, y: Column, edge: Double): Column =
+    ExpressionUtils.column(HexCellExpr(
+      ExpressionUtils.expression(x), ExpressionUtils.expression(y),
+      ExpressionUtils.expression(lit(edge))))
+
+  def hexQ(cell: Column): Column = shiftright(cell, 32).cast(IntegerType)
+  def hexR(cell: Column): Column = cell.cast(IntegerType)
+}
