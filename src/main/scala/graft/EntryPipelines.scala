@@ -1,0 +1,408 @@
+package graft
+
+import org.apache.spark.sql.{SparkSession, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.sources.{DocSynth, Oracle}
+import graft.operators._
+import graft.index.CellSpace
+
+/** Second query batch: grid-kNN family, raster aggregation, hex density,
+  * reprojection, chipper/PMF (rows-only), and the training-data pipeline
+  * suite (text analysis, dedup, ANN, multimodal). Merged into
+  * SparkEntry.queries/oracleSql. */
+object EntryPipelines {
+
+  private def pts(s: SparkSession, dir: String): DataFrame = DocSynth.points(s, dir)
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/documents.parquet")
+  private def embs(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/embeddings.parquet")
+
+  /** Query vector for ANN fixtures: a deterministic unit-ish vector. */
+  private val queryVec: Array[Double] =
+    Array.tabulate(64)(d => math.sin(d + 1.0))
+  private def queryVecSql: String =
+    queryVec.map(_.toString).mkString("[", ", ", "]::DOUBLE[]")
+
+  // ---------------------------------------------------------------------
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- grid-partitioned kNN family ---------------------------------
+    "q_knn_delta" -> ((s, dir) => {
+      val p = pts(s, dir)
+      val src = p.filter(col("intensity") % 89 === 0)
+      val cand = p.filter(col("intensity") % 97 === 0)
+      JoinOps.delta(src, cand, level = 4)
+        .select("doc_id", "span_idx", "dx", "dy", "dz")
+    }),
+
+    "q_sor" -> ((s, dir) => {
+      val sub = pts(s, dir).filter(col("intensity") % 19 === 0)
+      JoinOps.statisticalOutlierRemoval(k = 4, multThresh = 1.0, level = 4)(sub)
+        .select("doc_id", "span_idx")
+    }),
+
+    // ---- raster aggregation / hex density ----------------------------
+    "q_p2g" -> ((s, dir) =>
+      AggOps.p2gRaster(32, 32, 22.6, 0, 0)(pts(s, dir))
+        .select(col("px"), col("py"), col("den"), col("zmin"), col("zmax"),
+          col("zmean"), round(col("zidw"), 5).as("zidw5"),
+          round(col("zstd"), 5).as("zstd5"))),
+
+    "q_hexbin" -> ((s, dir) =>
+      TileOps.hexDensity(50.0)(pts(s, dir))
+        .select("hex_q", "hex_r", "density")),
+
+    "q_reproject" -> ((s, dir) => {
+      val meters = pts(s, dir).withColumns(Map(
+        "x" -> ((col("x") - 512) * 50000), "y" -> ((col("y") - 512) * 20000)))
+      Reproject.webMercatorToGeo(meters)
+        .select(col("doc_id"), col("span_idx"),
+          round(col("x"), 9).as("lon9"), round(col("y"), 9).as("lat9"))
+    }),
+
+    // ---- rows-only coverage (no ANSI-SQL oracle) ---------------------
+    "q_chipper" -> ((s, dir) =>
+      TileOps.chipper(4096)(pts(s, dir))
+        .groupBy(col("chip")).agg(count(lit(1)).as("n"),
+          min("x").as("minx"), max("x").as("maxx"))),
+
+    "q_pmf_ground" -> ((s, dir) =>
+      GroundOps.pmf(GroundOps.PmfParams(cellSize = 16, maxWindowSize = 9,
+        slope = 1.0, initialDistance = 2.0, maxDistance = 20.0))(pts(s, dir))
+        .groupBy(col("classification")).agg(count(lit(1)).as("n"))),
+
+    "q_ann_lsh" -> ((s, dir) =>
+      AnnOps.lshTopK(queryVec, k = 20, planes = 6)(embs(s, dir))
+        .select(col("vec_id"), col("label"), round(col("sim"), 6).as("sim6"))),
+
+    // ---- text analysis ------------------------------------------------
+    "q_token_count" -> ((s, dir) =>
+      TextOps.tokenCounts(docs(s, dir))),
+
+    "q_quality" -> ((s, dir) =>
+      TextOps.qualityScore(docs(s, dir))
+        .select(col("doc_id"), col("len"), col("n_words"), col("n_stop"),
+          round(col("alpha_ratio"), 6).as("alpha6"),
+          round(col("punct_ratio"), 6).as("punct6"),
+          round(col("stop_ratio"), 6).as("stop6"))),
+
+    "q_langid" -> ((s, dir) =>
+      TextOps.langId(docs(s, dir))
+        .select("doc_id", "en", "de", "fr", "es", "lang_pred")),
+
+    // ---- deduplication ------------------------------------------------
+    "q_dedup_exact" -> ((s, dir) =>
+      TextOps.dedupExact(docs(s, dir))),
+
+    "q_minhash_dedup" -> ((s, dir) =>
+      TextOps.minhashDedup(numPerms = 16, shingleN = 3, bands = 4)(docs(s, dir))),
+
+    "q_simhash" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"),
+        SimHash64.col(TextOps.wordsCol).as("simhash"))),
+
+    "q_ngram_jaccard" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val pairs = d.select(col("doc_id").as("a_id"), (col("doc_id") + 1).as("b_id"))
+        .join(d.select(col("doc_id").as("b_id")), "b_id")
+        .select("a_id", "b_id")
+      TextOps.ngramJaccard(d, pairs, shingleN = 2)
+        .select(col("a_id"), col("b_id"), col("inter"), col("uni"),
+          round(col("jaccard"), 6).as("jaccard6"))
+    }),
+
+    // ---- similarity search --------------------------------------------
+    "q_ann_cosine" -> ((s, dir) =>
+      AnnOps.cosineTopK(queryVec, k = 25)(embs(s, dir))
+        .select(col("vec_id"), col("label"), round(col("sim"), 6).as("sim6"))),
+
+    // ---- multimodal ---------------------------------------------------
+    "q_media_meta" -> ((s, dir) => {
+      val withBlob = docs(s, dir).withColumn("blob",
+        MediaOps.synthBlob(concat(lit("blob://"), col("doc_id").cast(StringType)), 8))
+      MediaOps.mediaMeta("blob")(MediaOps.fakeDecode("blob")(withBlob))
+        .select(col("doc_id"), col("media_size"), col("media_magic"),
+          col("media_hash"), col("decoded.f0").as("f0"), col("decoded.f1").as("f1"))
+    }),
+
+    "q_media_frames" -> ((s, dir) => {
+      val withBlob = docs(s, dir).withColumn("blob",
+        MediaOps.synthBlob(concat(lit("blob://"), col("doc_id").cast(StringType)), 8))
+      MediaOps.frameSample("blob", frameBytes = 16, step = 3)(withBlob)
+        .select("doc_id", "frame_idx", "frame_hash")
+    })
+  )
+
+  // ---------------------------------------------------------------------
+  // Oracle SQL twins
+  // ---------------------------------------------------------------------
+
+  /** Level-`l` cell coords of (x, y) in the default space (scale 2^20). */
+  private def cellSql(c: String, l: Int): String =
+    s"(CAST(($c) * 1048576 AS BIGINT) >> ${30 - l})"
+
+  private val wordsSql = TextOps.wordsSql
+  import TextOps.sqlList
+
+  /** Hex cube-round mirroring HexGrid.hexCell (floor(v+0.5) = Java
+    * Math.round, NOT SQL round which is half-away-from-zero). */
+  private def hexSql: String = {
+    val e = "50.0"
+    s"""hx AS (
+       |  SELECT *,
+       |    (sqrt(3.0) / 3.0 * x - y / 3.0) / $e AS qf,
+       |    (2.0 / 3.0 * y) / $e AS rf
+       |  FROM pts),
+       |hx2 AS (
+       |  SELECT *, (-qf - rf) AS yf,
+       |    floor(qf + 0.5) AS rx0, floor(-qf - rf + 0.5) AS ry0, floor(rf + 0.5) AS rz0
+       |  FROM hx),
+       |hx3 AS (
+       |  SELECT *,
+       |    abs(rx0 - qf) AS dx, abs(ry0 - yf) AS dy, abs(rz0 - rf) AS dz
+       |  FROM hx2),
+       |hex AS (
+       |  SELECT *,
+       |    CASE WHEN dx > dy AND dx > dz THEN -ry0 - rz0 ELSE rx0 END AS hq0,
+       |    CASE WHEN dx > dy AND dx > dz THEN rz0
+       |         WHEN dy > dz THEN rz0
+       |         ELSE -(CASE WHEN dx > dy AND dx > dz THEN -ry0 - rz0 ELSE rx0 END) - ry0 END AS hr0
+       |  FROM hx3)""".stripMargin
+  }
+
+  val oracleSql: Map[String, String] = {
+    val P = Oracle.pointsCte
+    Map(
+      "q_knn_delta" ->
+        s"""WITH $P,
+           |src AS (SELECT * FROM pts WHERE intensity % 89 = 0),
+           |cand AS (SELECT * FROM pts WHERE intensity % 97 = 0),
+           |pairs AS (
+           |  SELECT s.doc_id, s.span_idx,
+           |         s.x - c.x AS dx, s.y - c.y AS dy, s.z - c.z AS dz,
+           |         sqrt((s.x - c.x) * (s.x - c.x) + (s.y - c.y) * (s.y - c.y)) AS dist,
+           |         c.doc_id AS cdoc, c.span_idx AS cspan
+           |  FROM src s JOIN cand c
+           |    ON abs(${cellSql("s.x", 4)} - ${cellSql("c.x", 4)}) <= 1
+           |   AND abs(${cellSql("s.y", 4)} - ${cellSql("c.y", 4)}) <= 1)
+           |SELECT doc_id, span_idx, dx, dy, dz FROM pairs
+           |QUALIFY row_number() OVER (PARTITION BY doc_id, span_idx
+           |                           ORDER BY dist, cdoc, cspan) = 1""".stripMargin,
+
+      "q_sor" ->
+        s"""WITH $P,
+           |sub AS (SELECT * FROM pts WHERE intensity % 19 = 0),
+           |pairs AS (
+           |  SELECT a.doc_id, a.span_idx,
+           |         sqrt((a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
+           |              + (a.z - b.z) * (a.z - b.z)) AS dist,
+           |         b.doc_id AS bdoc, b.span_idx AS bspan
+           |  FROM sub a JOIN sub b
+           |    ON abs(${cellSql("a.x", 4)} - ${cellSql("b.x", 4)}) <= 1
+           |   AND abs(${cellSql("a.y", 4)} - ${cellSql("b.y", 4)}) <= 1
+           |   AND NOT (a.doc_id = b.doc_id AND a.span_idx = b.span_idx)),
+           |knn AS (
+           |  SELECT doc_id, span_idx, dist,
+           |         row_number() OVER (PARTITION BY doc_id, span_idx
+           |                            ORDER BY dist, bdoc, bspan) AS rn
+           |  FROM pairs),
+           |md AS (
+           |  SELECT doc_id, span_idx, avg(dist) AS md
+           |  FROM knn WHERE rn <= 4 GROUP BY doc_id, span_idx),
+           |th AS (SELECT avg(md) + 1.0 * stddev_samp(md) AS t FROM md)
+           |SELECT md.doc_id, md.span_idx FROM md, th WHERE md.md <= th.t""".stripMargin,
+
+      "q_p2g" ->
+        s"""WITH $P,
+           |base AS (
+           |  SELECT x, y, z,
+           |         CAST(floor(x / 32) AS BIGINT) AS cx0,
+           |         CAST(floor(y / 32) AS BIGINT) AS cy0
+           |  FROM pts),
+           |expanded AS (
+           |  SELECT x, y, z, cx0 + ox.o AS px, cy0 + oy.o AS py
+           |  FROM base
+           |  CROSS JOIN (VALUES (-1), (0), (1)) ox(o)
+           |  CROSS JOIN (VALUES (-1), (0), (1)) oy(o)),
+           |gated AS (
+           |  SELECT *,
+           |         sqrt((x - ((px + 0.5) * 32.0)) * (x - ((px + 0.5) * 32.0))
+           |            + (y - ((py + 0.5) * 32.0)) * (y - ((py + 0.5) * 32.0))) AS dist
+           |  FROM expanded)
+           |SELECT px, py, CAST(count(*) AS BIGINT) AS den,
+           |       min(z) AS zmin, max(z) AS zmax, sum(z) / count(*) AS zmean,
+           |       round(sum(z / greatest(dist, 1e-12)) / sum(1.0 / greatest(dist, 1e-12)), 5) AS zidw5,
+           |       round(stddev_pop(z), 5) AS zstd5
+           |FROM gated WHERE dist <= 22.6 GROUP BY px, py""".stripMargin,
+
+      "q_hexbin" ->
+        s"""WITH $P, $hexSql
+           |SELECT CAST(hq0 AS INT) AS hex_q, CAST(hr0 AS INT) AS hex_r,
+           |       CAST(count(*) AS BIGINT) AS density
+           |FROM hex GROUP BY 1, 2""".stripMargin,
+
+      "q_reproject" ->
+        s"""WITH $P
+           |SELECT doc_id, span_idx,
+           |       round(((x - 512) * 50000) / 6378137.0 * (180.0 / pi()), 9) AS lon9,
+           |       round((2.0 * atan(exp(((y - 512) * 20000) / 6378137.0)) - pi() / 2.0)
+           |             * (180.0 / pi()), 9) AS lat9
+           |FROM pts""".stripMargin,
+
+      "q_token_count" ->
+        """SELECT doc_id,
+          |       CAST(len(regexp_extract_all(text, '\S+')) AS INT) AS n_ws_tokens,
+          |       CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS INT) AS n_subword_units,
+          |       CAST(length(text) AS INT) AS len
+          |FROM documents""".stripMargin,
+
+      "q_quality" ->
+        s"""WITH q AS (
+           |  SELECT doc_id,
+           |         CAST(length(text) AS INT) AS len,
+           |         CAST(len($wordsSql) AS INT) AS n_words,
+           |         CAST(len(list_filter($wordsSql, w -> list_contains(${sqlList(TextOps.enStop)}, w))) AS INT) AS n_stop,
+           |         len(regexp_extract_all(text, '[A-Za-z]')) AS n_alpha,
+           |         len(regexp_extract_all(text, '[.,!?;:]')) AS n_punct
+           |  FROM documents)
+           |SELECT doc_id, len, n_words, n_stop,
+           |       round(CAST(n_alpha AS DOUBLE) / greatest(len, 1), 6) AS alpha6,
+           |       round(CAST(n_punct AS DOUBLE) / greatest(len, 1), 6) AS punct6,
+           |       round(CAST(n_stop AS DOUBLE) / greatest(n_words, 1), 6) AS stop6
+           |FROM q""".stripMargin,
+
+      "q_langid" ->
+        s"""WITH s AS (
+           |  SELECT doc_id,
+           |    CAST(len(list_filter($wordsSql, w -> list_contains(${sqlList(TextOps.enStop)}, w))) AS INT) AS en,
+           |    CAST(len(list_filter($wordsSql, w -> list_contains(${sqlList(TextOps.deStop)}, w))) AS INT) AS de,
+           |    CAST(len(list_filter($wordsSql, w -> list_contains(${sqlList(TextOps.frStop)}, w))) AS INT) AS fr,
+           |    CAST(len(list_filter($wordsSql, w -> list_contains(${sqlList(TextOps.esStop)}, w))) AS INT) AS es
+           |  FROM documents)
+           |SELECT doc_id, en, de, fr, es,
+           |       CASE WHEN greatest(en, de, fr, es) = 0 THEN 'und'
+           |            WHEN de = greatest(en, de, fr, es) THEN 'de'
+           |            WHEN en = greatest(en, de, fr, es) THEN 'en'
+           |            WHEN es = greatest(en, de, fr, es) THEN 'es'
+           |            ELSE 'fr' END AS lang_pred
+           |FROM s""".stripMargin,
+
+      "q_dedup_exact" ->
+        """SELECT md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp,
+          |       min(doc_id) AS rep_doc_id, CAST(count(*) AS BIGINT) AS n_dups
+          |FROM documents GROUP BY 1""".stripMargin,
+
+      "q_minhash_dedup" -> minhashDedupSql,
+
+      "q_simhash" -> simhashSql,
+
+      "q_ngram_jaccard" ->
+        s"""WITH sh AS (
+           |  SELECT doc_id,
+           |         list_distinct(CASE WHEN len($wordsSql) < 2
+           |           THEN [array_to_string($wordsSql, ' ')]
+           |           ELSE list_transform(generate_series(1, len($wordsSql) - 1),
+           |                i -> array_to_string(($wordsSql)[i:i+1], ' ')) END) AS sh
+           |  FROM documents),
+           |pairs AS (
+           |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, a.sh AS sha, b.sh AS shb
+           |  FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1)
+           |SELECT a_id, b_id,
+           |       CAST(len(list_intersect(sha, shb)) AS INT) AS inter,
+           |       CAST(len(sha) + len(shb) - len(list_intersect(sha, shb)) AS INT) AS uni,
+           |       round(CAST(len(list_intersect(sha, shb)) AS DOUBLE) /
+           |             greatest(len(sha) + len(shb) - len(list_intersect(sha, shb)), 1), 6) AS jaccard6
+           |FROM pairs""".stripMargin,
+
+      "q_ann_cosine" ->
+        s"""WITH q AS (SELECT $queryVecSql AS qv),
+           |scored AS (
+           |  SELECT vec_id, label,
+           |         list_dot_product(embedding::DOUBLE[], qv) /
+           |         (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) *
+           |          sqrt(list_dot_product(qv, qv))) AS sim
+           |  FROM embeddings, q)
+           |SELECT vec_id, label, round(sim, 6) AS sim6 FROM scored
+           |ORDER BY sim DESC, vec_id LIMIT 25""".stripMargin,
+
+      "q_media_meta" ->
+        """WITH b AS (
+          |  SELECT doc_id, repeat(unhex(md5('blob://' || CAST(doc_id AS VARCHAR))), 8) AS blob
+          |  FROM documents)
+          |SELECT doc_id,
+          |       CAST(octet_length(blob) AS INT) AS media_size,
+          |       substring(hex(blob), 1, 8) AS media_magic,
+          |       md5(hex(blob)) AS media_hash,
+          |       substring(hex(blob), 1, 4) AS f0,
+          |       substring(hex(blob), 17, 4) AS f1
+          |FROM b""".stripMargin,
+
+      "q_media_frames" ->
+        """WITH b AS (
+          |  SELECT doc_id, repeat(unhex(md5('blob://' || CAST(doc_id AS VARCHAR))), 8) AS blob
+          |  FROM documents),
+          |f AS (
+          |  SELECT doc_id, blob, unnest(generate_series(0,
+          |           CAST(floor((octet_length(blob) - 1) / 16) AS INT))) AS frame_idx
+          |  FROM b)
+          |SELECT doc_id, CAST(frame_idx AS INT) AS frame_idx,
+          |       md5(substring(hex(blob), frame_idx * 32 + 1, 32)) AS frame_hash
+          |FROM f WHERE frame_idx % 3 = 0""".stripMargin
+    )
+  }
+
+  /** MinHash-LSH dedup oracle: same md5-anchored signature, band keys,
+    * and single-hop min-rep union as TextOps.minhashDedup. */
+  private def minhashDedupSql: String = {
+    val n = 2 // shingleN=3 -> slices of 3 words -> indices i..i+2
+    s"""WITH sh AS (
+       |  SELECT doc_id,
+       |         CASE WHEN len($wordsSql) < 3
+       |           THEN [array_to_string($wordsSql, ' ')]
+       |           ELSE list_transform(generate_series(1, len($wordsSql) - 2),
+       |                i -> array_to_string(($wordsSql)[i:i+2], ' ')) END AS sh
+       |  FROM documents),
+       |sig AS (
+       |  SELECT doc_id,
+       |         list_transform(generate_series(0, 15),
+       |           p -> list_min(list_transform(sh, s -> md5(CAST(p AS VARCHAR) || ':' || s)))) AS sig
+       |  FROM sh),
+       |bands AS (
+       |  SELECT doc_id, unnest(list_transform(generate_series(0, 3),
+       |           b -> md5(CAST(b AS VARCHAR) || '|' ||
+       |                    array_to_string(sig[b * 4 + 1:b * 4 + 4], ',')))) AS band
+       |  FROM sig),
+       |rep AS (SELECT band, min(doc_id) AS band_rep FROM bands GROUP BY band)
+       |SELECT b.doc_id, min(r.band_rep) AS rep_doc_id
+       |FROM bands b JOIN rep r USING (band)
+       |GROUP BY b.doc_id""".stripMargin
+  }
+
+  /** SimHash oracle: md5 hex chars -> 64 bit votes, bit set where the
+    * vote sum is positive; identical bit layout to SimHash64 (hex char
+    * h covers bits 4h..4h+3, MSB first; result bit b at 1<<(63-b)). */
+  private def simhashSql: String =
+    s"""WITH w AS (
+       |  SELECT doc_id, unnest($wordsSql) AS tok FROM documents),
+       |h AS (SELECT doc_id, md5(tok) AS hx FROM w),
+       |bits AS (
+       |  SELECT doc_id, b.b AS b,
+       |         ((strpos('0123456789abcdef', substring(hx, CAST(b.b // 4 AS INT) + 1, 1)) - 1)
+       |          >> (3 - (b.b % 4))) & 1 AS bit
+       |  FROM h CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS b) b),
+       |votes AS (
+       |  SELECT doc_id, b, sum(CASE WHEN bit = 1 THEN 1 ELSE -1 END) AS v
+       |  FROM bits GROUP BY doc_id, b),
+       |sigs AS (
+       |  SELECT doc_id,
+       |         sum(CASE WHEN v <= 0 THEN 0
+       |                  WHEN b = 0 THEN -9223372036854775808
+       |                  ELSE (1::BIGINT << CAST(63 - b AS INT)) END) AS simhash
+       |  FROM votes GROUP BY doc_id)
+       |SELECT doc_id, CAST(simhash AS BIGINT) AS simhash FROM sigs
+       |UNION ALL
+       |SELECT doc_id, 0 AS simhash FROM documents
+       |WHERE len($wordsSql) = 0""".stripMargin
+}

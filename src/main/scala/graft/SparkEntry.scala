@@ -71,7 +71,9 @@ object SparkEntry {
 
   private def pts(s: SparkSession, dir: String): DataFrame = DocSynth.points(s, dir)
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  def queries: Map[String, (SparkSession, String) => DataFrame] = baseQueries ++ EntryPipelines.queries
+
+  private def baseQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- span machinery -------------------------------------------------
     "q_span_identity" -> ((s, dir) => {
       val docs = DocSynth.cachedDocs(s, dir)
@@ -168,7 +170,9 @@ object SparkEntry {
         .select("doc_id", "span_idx", "red", "blue"))
   )
 
-  def oracleSql: Map[String, String] = {
+  def oracleSql: Map[String, String] = baseOracleSql ++ EntryPipelines.oracleSql
+
+  private def baseOracleSql: Map[String, String] = {
     val P = Oracle.pointsCte
     Map(
       "q_span_identity" ->

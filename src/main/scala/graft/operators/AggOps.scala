@@ -79,7 +79,8 @@ object AggOps {
       // cell center distance gate (exact radius semantics)
       .withColumn("cxc", (col("px") + 0.5) * dx + originX)
       .withColumn("cyc", (col("py") + 0.5) * dy + originY)
-      .withColumn("dist", sqrt(pow(col("x") - col("cxc"), 2) + pow(col("y") - col("cyc"), 2)))
+      .withColumn("dist", sqrt((col("x") - col("cxc")) * (col("x") - col("cxc"))
+        + (col("y") - col("cyc")) * (col("y") - col("cyc"))))
       .filter(col("dist") <= radius)
     val eps = 1e-12
     expanded.groupBy(col("px"), col("py"))

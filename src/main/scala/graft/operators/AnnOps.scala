@@ -1,0 +1,140 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Column}
+import org.apache.spark.sql.graftbridge.{ColumnBridge => ExpressionUtils}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Similarity search over an embedding column (`embeddings` table:
+  * vec_id, embedding array<float>, label).
+  *
+  *  - brute-force cosine top-k: the exactness baseline; one scan, one
+  *    TakeOrdered — no shuffle of the full table.
+  *  - LSH-bucketed variant: sign-random-hyperplane buckets; at scale the
+  *    bucket column is the partition key so a query probes one bucket
+  *    (plus Hamming-1 neighbors) instead of the full table.
+  *
+  * Dot products run through a codegen'd expression against a broadcast
+  * query vector (no per-row array boxing via higher-order functions on
+  * the hot path).
+  */
+object AnnOps {
+
+  /** Deterministic pseudo-random hyperplane weight for (plane p, dim d):
+    * +1 / -1 from one md5 byte — reproducible anywhere md5 exists. */
+  def planeWeight(p: Int, d: Int): Int = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val h = md.digest(s"$p:$d".getBytes("UTF-8"))
+    if ((h(0) & 1) == 0) 1 else -1
+  }
+
+  /** Codegen'd dot product of a float-array column with a constant
+    * double vector. */
+  case class DotConst(child: Expression, q: Array[Double])
+      extends UnaryExpression with Serializable {
+    override def dataType: DataType = DoubleType
+    override def nullIntolerant: Boolean = true
+    override def prettyName: String = "dot_const"
+    override protected def nullSafeEval(v: Any): Any = {
+      val arr = v.asInstanceOf[ArrayData]
+      val n = math.min(arr.numElements(), q.length)
+      var s = 0.0; var i = 0
+      while (i < n) { s += arr.getFloat(i).toDouble * q(i); i += 1 }
+      s
+    }
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val qv = ctx.addReferenceObj("q", q, "double[]")
+      nullSafeCodeGen(ctx, ev, c =>
+        s"""int n = Math.min($c.numElements(), $qv.length);
+           |double s = 0.0;
+           |for (int i = 0; i < n; i++) s += ((double) $c.getFloat(i)) * $qv[i];
+           |${ev.value} = s;""".stripMargin)
+    }
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  def dotConst(c: Column, q: Array[Double]): Column =
+    ExpressionUtils.column(DotConst(ExpressionUtils.expression(c), q))
+
+  /** Sequential-fold dot/norm via HOFs — the oracle-parity path (same
+    * left-to-right double summation as a SQL engine's list_dot_product). */
+  def dotSeq(a: Column, q: Array[Double]): Column = {
+    val qArr = array(q.map(lit): _*)
+    aggregate(zip_with(a, qArr, (x, w) => x.cast(DoubleType) * w),
+      lit(0.0), (acc, v) => acc + v)
+  }
+
+  def norm(a: Column): Column =
+    sqrt(aggregate(transform(a, x => x.cast(DoubleType) * x.cast(DoubleType)),
+      lit(0.0), (acc, v) => acc + v))
+
+  /** Brute-force cosine top-k against a constant query vector.
+    * Plan: scan -> project sim -> TakeOrderedAndProject(k) — fully
+    * distributed partial top-k, no shuffle of the table. */
+  def cosineTopK(query: Array[Double], k: Int, exactSeqFold: Boolean = true)
+                (df: DataFrame): DataFrame = {
+    val qn = math.sqrt(query.map(x => x * x).sum)
+    val dot = if (exactSeqFold) dotSeq(col("embedding"), query)
+              else dotConst(col("embedding"), query)
+    df.select(col("vec_id"), col("label"),
+      (dot / (norm(col("embedding")) * lit(qn))).as("sim"))
+      .orderBy(col("sim").desc, col("vec_id"))
+      .limit(k)
+  }
+
+  /** LSH bucket id: `planes` sign bits of hyperplane dot products. */
+  def lshBucket(planes: Int, dims: Int)(v: Column): Column = {
+    val bits = (0 until planes).map { p =>
+      val w = Array.tabulate(dims)(d => planeWeight(p, d).toDouble)
+      when(dotSeq(v, w) >= 0, lit(1L << p)).otherwise(lit(0L))
+    }
+    bits.reduce((a: Column, b: Column) => a.bitwiseOR(b))
+  }
+
+  /** LSH-bucketed ANN: probe the query's bucket and all Hamming-1
+    * neighbor buckets, exact-rerank the candidates. Recall is tunable by
+    * planes (fewer planes = bigger buckets); candidates << table size is
+    * the scale win. */
+  def lshTopK(query: Array[Double], k: Int, planes: Int = 8)
+             (df: DataFrame): DataFrame = {
+    val dims = query.length
+    val qBits = (0 until planes).map { p =>
+      val w = Array.tabulate(dims)(d => planeWeight(p, d).toDouble)
+      val dot = (0 until dims).map(d => query(d) * w(d)).sum
+      if (dot >= 0) 1L << p else 0L
+    }.reduce(_ | _)
+    val probes = qBits +: (0 until planes).map(p => qBits ^ (1L << p))
+    val qn = math.sqrt(query.map(x => x * x).sum)
+    df.withColumn("bucket", lshBucket(planes, dims)(col("embedding")))
+      .filter(col("bucket").isin(probes: _*))
+      .select(col("vec_id"), col("label"), col("bucket"),
+        (dotSeq(col("embedding"), query) / (norm(col("embedding")) * lit(qn))).as("sim"))
+      .orderBy(col("sim").desc, col("vec_id"))
+      .limit(k)
+  }
+
+  /** Embedding-cosine near-duplicate pairs within LSH buckets: self-join
+    * each bucket (plus nothing else — the bucket IS the blocking key),
+    * keep pairs with cosine above threshold. */
+  def cosineNearDupPairs(planes: Int, dims: Int, threshold: Double)
+                        (df: DataFrame): DataFrame = {
+    val b = df.select(col("vec_id"), col("embedding"))
+      .withColumn("bucket", lshBucket(planes, dims)(col("embedding")))
+      .withColumn("nrm", norm(col("embedding")))
+    val l = b.select(col("bucket"), col("vec_id").as("a_id"),
+      col("embedding").as("ea"), col("nrm").as("na"))
+    val r = b.select(col("bucket"), col("vec_id").as("b_id"),
+      col("embedding").as("eb"), col("nrm").as("nb"))
+    l.join(r, "bucket")
+      .filter(col("a_id") < col("b_id"))
+      .withColumn("sim",
+        aggregate(zip_with(col("ea"), col("eb"),
+          (x, y) => x.cast(DoubleType) * y.cast(DoubleType)),
+          lit(0.0), (acc, v) => acc + v) / (col("na") * col("nb")))
+      .filter(col("sim") >= threshold)
+      .select(col("a_id"), col("b_id"), col("sim"))
+  }
+}

@@ -169,8 +169,11 @@ object JoinOps {
       .withColumn("__c0", SpatialFunctions.cellId(col("x"), col("y"), level, space))
       .withColumn("__cell", explode(nbrUdf(col("__c0"))))
       .select(col("__cell"), struct(right.columns.map(col): _*).as("__r"))
-    val dist2d = pow(col("x") - col("__r.x"), 2) + pow(col("y") - col("__r.y"), 2)
-    val dist = if (dims3) sqrt(dist2d + pow(col("z") - col("__r.z"), 2)) else sqrt(dist2d)
+    // explicit products, not pow(): bit-identical to the SQL oracle's x*x
+    val ddx = col("x") - col("__r.x"); val ddy = col("y") - col("__r.y")
+    val dist2d = ddx * ddx + ddy * ddy
+    val ddz = col("z") - col("__r.z")
+    val dist = if (dims3) sqrt(dist2d + ddz * ddz) else sqrt(dist2d)
     l.join(r, "__cell").withColumn("__dist", dist).drop("__cell", "__c0")
   }
 

@@ -1,0 +1,167 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Column}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Text-analysis & deduplication operators for the training-data
+  * pipeline, over the `documents` table (doc_id, text, lang, source,
+  * n_chars). All pure Catalyst (builtins + higher-order functions); the
+  * cross-engine determinism anchor is md5 (identical in Spark and any
+  * SQL oracle), so every hash-derived result is bit-reproducible.
+  *
+  * Word extraction is `[a-z]+` over lowercased text everywhere — chosen
+  * because its semantics are identical across regex engines (Java, RE2).
+  */
+object TextOps {
+
+  val wordsCol: Column = expr("regexp_extract_all(lower(text), '[a-z]+', 0)")
+  /** SQL twin (DuckDB regexp_extract_all has no group arg default 0). */
+  val wordsSql = "regexp_extract_all(lower(text), '[a-z]+')"
+
+  // ---- token counting ---------------------------------------------------
+
+  /** Whitespace-token count + BPE-ish subword estimate (a words +
+    * punctuation-runs count, the usual pre-tokenizer unit count). */
+  def tokenCounts(df: DataFrame): DataFrame = {
+    df.select(col("doc_id"),
+      size(expr("regexp_extract_all(text, '\\\\S+', 0)")).as("n_ws_tokens"),
+      size(expr("regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\\\s]', 0)"))
+        .as("n_subword_units"),
+      length(col("text")).as("len"))
+  }
+
+  // ---- quality scoring --------------------------------------------------
+
+  /** Common-English stopwords for quality/langid heuristics (tiny fixed
+    * list shared verbatim with the SQL oracle). */
+  val enStop: Seq[String] = Seq("the", "of", "and", "to", "in", "a", "is",
+    "that", "for", "it", "was", "on", "with", "as", "be")
+  val deStop: Seq[String] = Seq("der", "die", "und", "das", "ist", "nicht",
+    "von", "mit", "den", "ein", "eine", "zu", "auf", "im", "sich")
+  val frStop: Seq[String] = Seq("le", "la", "les", "et", "des", "est", "un",
+    "une", "du", "dans", "que", "qui", "pour", "pas", "sur")
+  val esStop: Seq[String] = Seq("el", "la", "los", "las", "y", "es", "un",
+    "una", "del", "en", "que", "por", "con", "para", "se")
+
+  private def arrayLit(ws: Seq[String]): Column = array(ws.map(lit): _*)
+  def sqlList(ws: Seq[String]): String = ws.map(w => s"'$w'").mkString("[", ", ", "]")
+
+  /** Length / punctuation / stopword-ratio quality signals. All ratios
+    * are double divisions of exact integers — deterministic. */
+  def qualityScore(df: DataFrame): DataFrame = {
+    val words = wordsCol
+    val nWords = size(words)
+    val nStop = size(filter(words, w => array_contains(arrayLit(enStop), w)))
+    val nAlpha = size(expr("regexp_extract_all(text, '[A-Za-z]', 0)"))
+    val nDigit = size(expr("regexp_extract_all(text, '[0-9]', 0)"))
+    val nPunct = size(expr("regexp_extract_all(text, '[.,!?;:]', 0)"))
+    val len = length(col("text"))
+    df.select(col("doc_id"), len.as("len"),
+      nWords.as("n_words"), nStop.as("n_stop"),
+      (nAlpha.cast(DoubleType) / greatest(len, lit(1))).as("alpha_ratio"),
+      (nDigit.cast(DoubleType) / greatest(len, lit(1))).as("digit_ratio"),
+      (nPunct.cast(DoubleType) / greatest(len, lit(1))).as("punct_ratio"),
+      (nStop.cast(DoubleType) / greatest(nWords, lit(1))).as("stop_ratio"))
+      .withColumn("quality",
+        when(col("len") < 20, lit(0.0)).otherwise(
+          least(lit(1.0), col("alpha_ratio") * 0.5 + col("stop_ratio") * 0.5
+            + lit(0.25) - col("digit_ratio"))))
+  }
+
+  // ---- language identification ------------------------------------------
+
+  /** Marker-word voting language ID (n-gram-heuristic class): count hits
+    * in each language's stopword list, argmax with deterministic
+    * tie-break on language code. */
+  def langId(df: DataFrame): DataFrame = {
+    val words = wordsCol
+    def hits(ws: Seq[String]): Column =
+      size(filter(words, w => array_contains(arrayLit(ws), w)))
+    val scored = df.select(col("doc_id"),
+      hits(enStop).as("en"), hits(deStop).as("de"),
+      hits(frStop).as("fr"), hits(esStop).as("es"))
+    // argmax over a (score, lang) struct array: max picks highest score,
+    // then LOWEST lang code on ties via negated comparison trick
+    scored.select(col("doc_id"), col("en"), col("de"), col("fr"), col("es"),
+      greatest(col("en"), col("de"), col("fr"), col("es")).as("best"))
+      .withColumn("lang_pred",
+        when(col("best") === 0, lit("und"))
+          .when(col("de") === col("best"), lit("de"))
+          .when(col("en") === col("best"), lit("en"))
+          .when(col("es") === col("best"), lit("es"))
+          .otherwise(lit("fr")))
+  }
+
+  // ---- fingerprinting & exact dedup -------------------------------------
+
+  /** Document fingerprint: md5 of whitespace-normalized lowercase text.
+    * (The "rolling hash" of the reference class of pipelines — md5 chosen
+    * so the oracle reproduces it bit-for-bit.) */
+  def fingerprint(df: DataFrame): DataFrame =
+    df.withColumn("fp", md5(regexp_replace(trim(lower(col("text"))), "\\s+", " ")))
+
+  /** Exact deduplication: one representative (min doc_id) per distinct
+    * normalized content; map-side combinable single shuffle. */
+  def dedupExact(df: DataFrame): DataFrame =
+    fingerprint(df)
+      .groupBy(col("fp"))
+      .agg(min(col("doc_id")).as("rep_doc_id"), count(lit(1)).as("n_dups"))
+
+  // ---- shingles, MinHash, LSH -------------------------------------------
+
+  /** Word n-gram shingles (space-joined). */
+  def shingles(n: Int): Column = {
+    val words = wordsCol
+    when(size(words) < n, array(concat_ws(" ", words)))
+      .otherwise(transform(sequence(lit(0), size(words) - n),
+        i => concat_ws(" ", slice(words, i + 1, lit(n)))))
+  }
+
+  /** MinHash signature: perm p's hash of shingle s is md5(p:s); the
+    * signature element is the lexicographic min (hex strings order like
+    * the underlying 128-bit values). */
+  def minhashSignature(numPerms: Int, shingleN: Int): Column = {
+    val sh = shingles(shingleN)
+    transform(sequence(lit(0), lit(numPerms - 1)),
+      p => array_min(transform(sh, s => md5(concat(p.cast(StringType), lit(":"), s)))))
+  }
+
+  /** LSH banding: band b's key is md5 of its slice of the signature.
+    * numPerms = bands * rowsPerBand. */
+  def lshBandKeys(numPerms: Int, shingleN: Int, bands: Int): Column = {
+    val rows = numPerms / bands
+    val sig = minhashSignature(numPerms, shingleN)
+    transform(sequence(lit(0), lit(bands - 1)),
+      b => md5(concat(b.cast(StringType), lit("|"),
+        concat_ws(",", slice(sig, b * rows + 1, lit(rows))))))
+  }
+
+  /** MinHash-LSH near-duplicate grouping: documents sharing any band
+    * bucket collapse to the bucket's min doc_id; a document's rep is the
+    * min over its bands (single-hop union — full connected components
+    * would iterate this to fixpoint; one hop is the standard
+    * first-pass). Two shuffles (band groupBy + doc groupBy). */
+  def minhashDedup(numPerms: Int = 16, shingleN: Int = 3, bands: Int = 4)
+                  (df: DataFrame): DataFrame = {
+    val withBands = df.select(col("doc_id"),
+      explode(lshBandKeys(numPerms, shingleN, bands)).as("band"))
+    val bandRep = withBands
+      .groupBy(col("band")).agg(min(col("doc_id")).as("band_rep"))
+    withBands.join(bandRep, "band")
+      .groupBy(col("doc_id")).agg(min(col("band_rep")).as("rep_doc_id"))
+  }
+
+  /** n-gram Jaccard similarity of candidate pairs: |A∩B| / |A∪B| on
+    * DISTINCT shingle sets. `pairs` must have (a_id, b_id). */
+  def ngramJaccard(docs: DataFrame, pairs: DataFrame, shingleN: Int): DataFrame = {
+    val sh = docs.select(col("doc_id"), array_distinct(shingles(shingleN)).as("sh"))
+    pairs
+      .join(sh.select(col("doc_id").as("a_id"), col("sh").as("sha")), "a_id")
+      .join(sh.select(col("doc_id").as("b_id"), col("sh").as("shb")), "b_id")
+      .withColumn("inter", size(array_intersect(col("sha"), col("shb"))))
+      .withColumn("uni", size(col("sha")) + size(col("shb")) - col("inter"))
+      .select(col("a_id"), col("b_id"), col("inter"), col("uni"),
+        (col("inter").cast(DoubleType) / greatest(col("uni"), lit(1))).as("jaccard"))
+  }
+}

@@ -201,5 +201,6 @@ object HexGrid {
       ExpressionUtils.expression(lit(edge))))
 
   def hexQ(cell: Column): Column = shiftright(cell, 32).cast(IntegerType)
-  def hexR(cell: Column): Column = cell.cast(IntegerType)
+  // sign-extend the low 32 bits before the (ANSI-checked) int cast
+  def hexR(cell: Column): Column = shiftright(shiftleft(cell, 32), 32).cast(IntegerType)
 }
