@@ -80,7 +80,7 @@ object AnnOps {
     val dot = if (exactSeqFold) dotSeq(col("embedding"), query)
               else dotConst(col("embedding"), query)
     df.select(col("vec_id"), col("label"),
-      (dot / (norm(col("embedding")) * lit(qn))).as("sim"))
+      (dot / greatest(norm(col("embedding")) * lit(qn), lit(java.lang.Double.MIN_VALUE))).as("sim"))
       .orderBy(col("sim").desc, col("vec_id"))
       .limit(k)
   }
@@ -111,7 +111,7 @@ object AnnOps {
     df.withColumn("bucket", lshBucket(planes, dims)(col("embedding")))
       .filter(col("bucket").isin(probes: _*))
       .select(col("vec_id"), col("label"), col("bucket"),
-        (dotSeq(col("embedding"), query) / (norm(col("embedding")) * lit(qn))).as("sim"))
+        (dotSeq(col("embedding"), query) / greatest(norm(col("embedding")) * lit(qn), lit(java.lang.Double.MIN_VALUE))).as("sim"))
       .orderBy(col("sim").desc, col("vec_id"))
       .limit(k)
   }
@@ -133,7 +133,7 @@ object AnnOps {
       .withColumn("sim",
         aggregate(zip_with(col("ea"), col("eb"),
           (x, y) => x.cast(DoubleType) * y.cast(DoubleType)),
-          lit(0.0), (acc, v) => acc + v) / (col("na") * col("nb")))
+          lit(0.0), (acc, v) => acc + v) / greatest(col("na") * col("nb"), lit(java.lang.Double.MIN_VALUE)))
       .filter(col("sim") >= threshold)
       .select(col("a_id"), col("b_id"), col("sim"))
   }

@@ -1,0 +1,234 @@
+package graft.plans
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+
+import graft.operators._
+import graft.sources.{DocSynth, Faux, LasDecode}
+import graft.model.Model
+import graft.index.CellSpace
+
+/** Declarative pipeline runner — the engine's PipelineManager analog
+  * (reference src/PipelineReader.cpp:495-508 parses a stage tree and
+  * src/PipelineManager.cpp executes it; ours folds a JSON stage list
+  * over a DataFrame and lets Catalyst plan the whole composition as ONE
+  * job, fusing adjacent projections/filters that the reference runs as
+  * separate per-view loops).
+  *
+  * Spec shape (PDAL-style JSON stage list):
+  * {{{
+  * { "pipeline": [
+  *     {"type": "readers.faux", "mode": "ramp",
+  *      "bounds": [0,0,0,10,100,1000], "count": 1000},
+  *     {"type": "filters.range",
+  *      "limits": [{"dimension": "z", "min": 4, "max": 6}]},
+  *     {"type": "filters.splitter", "length": 100},
+  *     {"type": "writers.parquet", "path": "/tmp/out"}
+  * ], "checkpoint_root": "/tmp/ck" }
+  * }}}
+  *
+  * With `checkpoint_root` set, every stage marked `"checkpoint": true`
+  * (and every writer) persists its output + per-partition lineage
+  * manifest; a re-run resumes mid-pipeline at the last stage whose
+  * fingerprint (config + upstream fingerprints) still matches.
+  */
+object Pipeline {
+  private implicit val fmt: Formats = DefaultFormats
+
+  final case class StageSpec(typ: String, config: JObject) {
+    def str(k: String): Option[String] = (config \ k).extractOpt[String]
+    def dbl(k: String): Option[Double] = (config \ k).extractOpt[Double]
+    def int(k: String): Option[Int] = (config \ k).extractOpt[Int]
+    def bool(k: String): Option[Boolean] = (config \ k).extractOpt[Boolean]
+    def dbls(k: String): Option[Seq[Double]] = (config \ k).extractOpt[Seq[Double]]
+    def strs(k: String): Option[Seq[String]] = (config \ k).extractOpt[Seq[String]]
+    def fingerprintSource: String = typ + JsonMethods.compact(JsonMethods.render(config))
+  }
+
+  def parse(specJson: String): (Seq[StageSpec], Option[String]) = {
+    val j = JsonMethods.parse(specJson)
+    val stages = (j \ "pipeline") match {
+      case JArray(items) => items.collect { case o: JObject =>
+        StageSpec((o \ "type").extract[String], o)
+      }
+      case _ => throw new IllegalArgumentException("spec needs a 'pipeline' array")
+    }
+    (stages, (j \ "checkpoint_root").extractOpt[String])
+  }
+
+  private def md5Hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+
+  /** Build one stage's transformation. Readers ignore their input. */
+  def build(spark: SparkSession, st: StageSpec): Option[DataFrame] => DataFrame = {
+    val t = st.typ
+    in => t match {
+      // ---- readers -----------------------------------------------------
+      case "readers.doc" =>
+        val docs = st.str("path") match {
+          case Some(p) => spark.read.parquet(p)
+          case None => DocSynth.cachedDocs(spark, st.str("sf_dir")
+            .getOrElse(throw new IllegalArgumentException("readers.doc needs path or sf_dir")))
+        }
+        Model.explodePoints(docs)
+      case "readers.parquet" =>
+        spark.read.parquet(st.str("path").get)
+      case "readers.faux" =>
+        val b = st.dbls("bounds").map(a => Faux.Box3(a(0), a(1), a(2), a(3), a(4), a(5)))
+          .getOrElse(Faux.Box3(0, 0, 0, 1, 1, 1))
+        val n = st.int("count").getOrElse(1000).toLong
+        st.str("mode").getOrElse("ramp") match {
+          case "ramp" => Faux.ramp(spark, b, n)
+          case "constant" => Faux.constant(spark, b, n)
+          case "uniform" => Faux.uniform(spark, b, n, st.int("seed").getOrElse(42).toLong)
+          case m => throw new IllegalArgumentException(s"faux mode $m")
+        }
+      case "readers.las" =>
+        LasDecode.asDataFrame(spark, st.str("path").get)
+
+      // ---- filters -----------------------------------------------------
+      case "filters.range" =>
+        val limits = (st.config \ "limits") match {
+          case JArray(ls) => ls.map { l =>
+            PointOps.DimRange((l \ "dimension").extract[String],
+              (l \ "min").extractOpt[Double].getOrElse(Double.NegativeInfinity),
+              (l \ "max").extractOpt[Double].getOrElse(Double.PositiveInfinity))
+          }
+          case _ => throw new IllegalArgumentException("filters.range needs limits")
+        }
+        PointOps.range(limits)(in.get)
+      case "filters.crop" =>
+        (st.str("polygon"), st.dbls("bounds")) match {
+          case (Some(wkt), _) =>
+            JoinOps.cropPolygon(wkt, st.bool("outside").getOrElse(false),
+              space(st))(in.get)
+          case (_, Some(a)) =>
+            val b = if (a.length == 6) PointOps.Box3D(a(0), a(1), a(2), a(3), a(4), a(5))
+                    else PointOps.Box3D(a(0), a(1), Double.NegativeInfinity,
+                      a(2), a(3), Double.PositiveInfinity)
+            PointOps.cropBox(b, st.bool("outside").getOrElse(false))(in.get)
+          case _ => throw new IllegalArgumentException("filters.crop needs polygon or bounds")
+        }
+      case "filters.decimation" =>
+        PointOps.decimation(st.int("step").getOrElse(1), st.int("offset").getOrElse(0),
+          st.int("limit").map(_.toLong), st.str("ordinal").getOrElse("span_idx"))(in.get)
+      case "filters.ferry" =>
+        val pairs = st.strs("dimensions").getOrElse(Nil).map { d =>
+          val Array(from, to) = d.split("=>").map(_.trim); (from, to)
+        }
+        PointOps.ferry(pairs)(in.get)
+      case "filters.transformation" =>
+        val m = st.str("matrix").get.trim.split("\\s+").map(_.toDouble)
+        PointOps.transformation(m)(in.get)
+      case "filters.assign" =>
+        PointOps.assignConstant(st.str("dimension").get, st.dbl("value").get)(in.get)
+      case "filters.sort" =>
+        PointOps.sortBy(st.str("dimension").getOrElse("x"))(in.get)
+      case "filters.mortonorder" =>
+        PointOps.mortonOrder(space(st))(in.get)
+      case "filters.splitter" =>
+        TileOps.splitter(st.dbl("length").getOrElse(1000.0),
+          st.dbl("origin_x").getOrElse(0.0), st.dbl("origin_y").getOrElse(0.0))(in.get)
+      case "filters.chipper" =>
+        TileOps.chipper(st.int("capacity").getOrElse(5000).toLong)(in.get)
+      case "filters.stats" =>
+        AggOps.stats(st.strs("dimensions").getOrElse(Seq("x", "y", "z")),
+          st.strs("enumerate").getOrElse(Nil).toSet)(in.get)
+      case "filters.voxelgrid" =>
+        AggOps.voxelGrid(st.dbl("lx").getOrElse(1.0), st.dbl("ly").getOrElse(1.0),
+          st.dbl("lz").getOrElse(1.0))(in.get)
+      case "filters.gridmin" =>
+        AggOps.gridMinimum(st.dbl("cell").getOrElse(1.0))(in.get)
+      case "filters.hexbin" =>
+        TileOps.hexDensity(st.dbl("edge").getOrElse(10.0))(in.get)
+      case "filters.reprojection" =>
+        (st.str("in_srs").getOrElse(""), st.str("out_srs").getOrElse("EPSG:4326")) match {
+          case (in_srs, "EPSG:4326") if in_srs.startsWith("utm:") =>
+            val z = in_srs.stripPrefix("utm:").toInt
+            Reproject.utmToGeo(z)(in.get)
+          case ("lcc:oregon-ft", "EPSG:4326") =>
+            Reproject.lccToGeo(Proj.OregonLambertFeet)(in.get)
+          case ("EPSG:3857", "EPSG:4326") => Reproject.webMercatorToGeo(in.get)
+          case ("EPSG:4326", "EPSG:3857") => Reproject.geoToWebMercator(in.get)
+          case (i, o) => throw new IllegalArgumentException(s"reprojection $i -> $o")
+        }
+      case "filters.ground" =>
+        GroundOps.pmf(GroundOps.PmfParams(
+          cellSize = st.dbl("cell_size").getOrElse(1.0),
+          maxWindowSize = st.dbl("max_window_size").getOrElse(33.0),
+          slope = st.dbl("slope").getOrElse(1.0),
+          initialDistance = st.dbl("initial_distance").getOrElse(0.15),
+          maxDistance = st.dbl("max_distance").getOrElse(2.5)),
+          extract = st.bool("extract").getOrElse(false))(in.get)
+      case "filters.outlier" =>
+        JoinOps.statisticalOutlierRemoval(st.int("mean_k").getOrElse(8),
+          st.dbl("multiplier").getOrElse(2.0), st.int("level").getOrElse(6),
+          space(st))(in.get)
+      case "filters.merge" =>
+        in.get // n-ary merge handled by the runner (union of branch outputs)
+
+      // ---- writers -----------------------------------------------------
+      case "writers.parquet" =>
+        val d = in.get
+        val byTile = st.strs("partition_by").getOrElse(Nil)
+        val w = d.write.mode("overwrite")
+        (if (byTile.nonEmpty) w.partitionBy(byTile: _*) else w).parquet(st.str("path").get)
+        d
+      case "writers.csv" =>
+        val d = in.get
+        d.write.mode("overwrite").option("header", "true").csv(st.str("path").get)
+        d
+      case "writers.noop" =>
+        val d = in.get; d.write.format("noop").mode("overwrite").save(); d
+      case "writers.doc" =>
+        // re-implode points into the canonical doc table before writing
+        val docs = Model.implode(DocSynth.cachedDocs(spark, st.str("sf_dir").get), in.get)
+        docs.write.mode("overwrite").parquet(st.str("path").get)
+        docs
+
+      case other => throw new IllegalArgumentException(s"unknown stage type $other")
+    }
+  }
+
+  private def space(st: StageSpec): CellSpace =
+    st.dbls("space").map(a => CellSpace(a(0), a(1), a(2), a(3)))
+      .getOrElse(CellSpace.default)
+
+  final case class RunResult(df: DataFrame, resumedStages: Seq[String],
+                             ranStages: Seq[String])
+
+  /** Execute a pipeline spec. With a checkpoint root, stages marked
+    * `"checkpoint": true` (or writers) persist output + lineage; on
+    * re-run, the longest prefix of stages whose fingerprints match
+    * resumes from its checkpoint instead of recomputing. */
+  def run(spark: SparkSession, specJson: String): RunResult = {
+    val (stages, ckRoot) = parse(specJson)
+    require(stages.nonEmpty, "empty pipeline")
+    var df: Option[DataFrame] = None
+    var fingerprint = ""
+    var resumed = Vector.empty[String]
+    var ran = Vector.empty[String]
+    stages.zipWithIndex.foreach { case (st, i) =>
+      val stageId = f"$i%03d_${st.typ.replace('.', '_')}"
+      fingerprint = md5Hex(fingerprint + st.fingerprintSource)
+      val wantCk = ckRoot.isDefined &&
+        (st.bool("checkpoint").getOrElse(false) || st.typ.startsWith("writers."))
+      if (wantCk && Manifest.resumable(ckRoot.get, stageId, fingerprint)) {
+        df = Some(Manifest.readData(spark, ckRoot.get, stageId))
+        resumed :+= stageId
+      } else {
+        df = Some(build(spark, st)(df))
+        if (wantCk) {
+          Manifest.checkpoint(ckRoot.get, stageId, fingerprint,
+            if (i > 0) Seq(f"${i - 1}%03d") else Nil, df.get)
+          df = Some(Manifest.readData(spark, ckRoot.get, stageId))
+        }
+        ran :+= stageId
+      }
+    }
+    RunResult(df.get, resumed, ran)
+  }
+}

@@ -1,0 +1,147 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.sources.Faux
+import graft.operators._
+import graft.model.Model
+import graft.index.{CellSpace, PolygonCover, Morton}
+
+/** Behavioral specs for operators whose semantics aren't covered by a
+  * SQL oracle: SOR, PMF, MinHash near-dup, ANN recall, quantization
+  * round-trip, checked casts, index-layer invariants. */
+class OperatorBehaviorSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  test("Morton interleave round-trips and preserves locality prefixes") {
+    val pairs = Seq((0L, 0L), (1L, 0L), (0L, 1L), (12345L, 67890L),
+      ((1L << 30) - 1, (1L << 30) - 1))
+    pairs.foreach { case (x, y) =>
+      val m = Morton.interleave(x, y)
+      assert(Morton.deinterleaveX(m) === x)
+      assert(Morton.deinterleaveY(m) === y)
+    }
+    // parent cell id is a prefix: child >> 2 levels == parent morton
+    val sp = CellSpace.default
+    val id = sp.cellAt(123.4, 567.8, 10)
+    val p = sp.parent(id)
+    assert(CellSpace.level(p) === 9)
+    assert((id >>> 6) >>> 2 === (p >>> 6))
+    assert(sp.children(p).contains(id))
+  }
+
+  test("polygon cover: interior cells are truly interior, cover is complete") {
+    val sp = CellSpace.default
+    val geom = PolygonCover.fromWkt(
+      "POLYGON ((200.3 200.7, 800.3 200.7, 800.3 800.7, 200.3 800.7, 200.3 200.7))")
+    val cover = PolygonCover.cover(geom, sp, 8)
+    assert(cover.interior.nonEmpty && cover.boundary.nonEmpty)
+    val prep = org.locationtech.jts.geom.prep.PreparedGeometryFactory.prepare(geom)
+    val gf = new org.locationtech.jts.geom.GeometryFactory()
+    cover.interior.take(50).foreach { id =>
+      assert(prep.containsProperly(gf.toGeometry(sp.envelope(id))),
+        s"interior cell $id not properly contained")
+    }
+    // completeness: points inside the polygon are always in some cover cell
+    val pts = for (i <- 0 to 5; j <- 0 to 6) yield (210.0 + i * 97.0, 210.0 + j * 93.0)
+    val all = cover.interior.map(c => (c, CellSpace.level(c))) ++
+      cover.boundary.map(c => (c, 8))
+    pts.foreach { case (x, y) =>
+      val hit = all.exists { case (c, lvl) => sp.cellAt(x, y, lvl) == c }
+      assert(hit, s"point ($x,$y) missed by cover")
+    }
+  }
+
+  test("SOR removes isolated outliers and keeps cluster points") {
+    // dense cluster at (100,100,0) + far outliers
+    val cluster = Faux.uniform(spark, Faux.Box3(95, 95, 0, 105, 105, 1), 500, seed = 5)
+    val outliers = Faux.ramp(spark, Faux.Box3(500, 500, 0, 900, 900, 1), 5, "outlier")
+    val all = cluster.unionByName(outliers)
+    val kept = JoinOps.statisticalOutlierRemoval(k = 8, multThresh = 2.0, level = 5)(all)
+    val keptIds = kept.select("doc_id").distinct().as[String].collect().toSet
+    assert(!keptIds.contains("outlier"), "outliers survived SOR")
+    assert(kept.count() >= 450, "SOR dropped too many cluster points")
+  }
+
+  test("PMF classifies flat ground and rejects towers") {
+    // flat plane z=10 on a grid + a few tall spikes
+    val n = 40
+    val ground = spark.range(0, n.toLong * n).select(
+      lit("g").as("doc_id"), col("id").cast(IntegerType).as("span_idx"),
+      (col("id") % n * 10).cast(DoubleType).as("x"),
+      (col("id") / n).cast(IntegerType).cast(DoubleType).multiply(10).as("y"),
+      lit(10.0).as("z"))
+    val towers = spark.range(0, 5).select(
+      lit("t").as("doc_id"), (col("id") + 100000).cast(IntegerType).as("span_idx"),
+      (col("id") * 83 + 41).cast(DoubleType).as("x"),
+      (col("id") * 61 + 37).cast(DoubleType).as("y"),
+      lit(90.0).as("z"))
+    val df = ground.unionByName(towers)
+    val out = GroundOps.pmf(GroundOps.PmfParams(cellSize = 10, maxWindowSize = 9,
+      slope = 0.5, initialDistance = 1.0, maxDistance = 5.0))(df)
+    val groundClass = out.filter(col("classification") === 2)
+    assert(groundClass.filter(col("doc_id") === "t").count() === 0, "towers marked ground")
+    val gCount = groundClass.filter(col("doc_id") === "g").count()
+    assert(gCount === n.toLong * n, s"only $gCount of ${n * n} plane points marked ground")
+  }
+
+  test("MinHash-LSH groups near-duplicates and separates distinct docs") {
+    val base = "the quick brown fox jumps over the lazy dog and runs far away into the woods tonight"
+    val nearDup = base.replace("tonight", "today") // 1-word change
+    val distinct1 = "completely different content about spark catalyst optimizer internals and query planning"
+    val docs = Seq((1L, base), (2L, nearDup), (3L, distinct1))
+      .toDF("doc_id", "text")
+    val reps = TextOps.minhashDedup(numPerms = 16, shingleN = 3, bands = 8)(docs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(reps(1L) === reps(2L), "near-duplicates not grouped")
+    assert(reps(3L) === 3L, "distinct doc wrongly grouped")
+  }
+
+  test("SimHash hamming distance small for near-dups, large for distinct") {
+    val a = SimHash64.of("the quick brown fox jumps over the lazy dog every single day".split(" ").toSeq)
+    val b = SimHash64.of("the quick brown fox jumps over the lazy cat every single day".split(" ").toSeq)
+    val c = SimHash64.of("catalyst plans whole stage codegen for shuffle exchange reuse".split(" ").toSeq)
+    assert(java.lang.Long.bitCount(a ^ b) < 16, s"near-dup hamming ${java.lang.Long.bitCount(a ^ b)}")
+    assert(java.lang.Long.bitCount(a ^ c) > 16, s"distinct hamming ${java.lang.Long.bitCount(a ^ c)}")
+  }
+
+  test("LSH ANN finds most of brute-force top-k") {
+    val dims = 16
+    val vecs = spark.range(0, 2000).select(col("id").as("vec_id"),
+      lit(0).as("label"),
+      transform(sequence(lit(1), lit(dims)),
+        d => sin(col("id") * d).cast(FloatType)).as("embedding"))
+    val q = Array.tabulate(dims)(d => math.sin(500.0 * (d + 1)))
+    val exact = AnnOps.cosineTopK(q, 10)(vecs).select("vec_id").as[Long].collect().toSet
+    val approx = AnnOps.lshTopK(q, 10, planes = 4)(vecs).select("vec_id").as[Long].collect().toSet
+    assert(exact.contains(500L), "query vector itself not in exact top-k")
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.5, s"LSH recall $recall too low")
+  }
+
+  test("quantization round-trip within scale/2 and checked cast rejects overflow") {
+    val pts = Faux.uniform(spark, Faux.Box3(-50, 0, 100, 950, 1000, 1100), 1000, seed = 3)
+    val xf = Quantize.autoXForm(pts, Seq("x", "y", "z"))
+    val rt = Quantize.dequantize(xf)(Quantize.quantize(xf)(pts).drop("x", "y", "z"))
+    val err = rt.join(pts.withColumnsRenamed(Map("x" -> "x0", "y" -> "y0", "z" -> "z0")),
+      Seq("doc_id", "span_idx"))
+      .agg(max(abs(col("x") - col("x0"))), max(abs(col("y") - col("y0")))).head()
+    assert(err.getDouble(0) <= xf("x").scale, "x round-trip error exceeds scale")
+    // checked cast: value far out of int range must raise (reference
+    // getFieldAs lossy-conversion throw, PointView.hpp:372-440)
+    val boom = intercept[Exception] {
+      Seq(1e15).toDF("v").select(Model.checkedCast(col("v"), IntegerType)).collect()
+    }
+    assert(boom.getMessage.contains("out of range") ||
+      boom.getCause != null && boom.getCause.getMessage.contains("out of range"))
+  }
+
+  test("type widening lattice matches the reference resolution rules") {
+    assert(Model.widen(ShortType, IntegerType) === IntegerType)
+    assert(Model.widen(LongType, FloatType) === DoubleType)
+    assert(Model.widen(FloatType, DoubleType) === DoubleType)
+    assert(Model.widen(ByteType, ByteType) === ByteType)
+  }
+}

@@ -1,0 +1,101 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.plans.{Pipeline, Manifest}
+import graft.model.Model
+import graft.sources.DocSynth
+
+/** Pipeline runner: spec parsing, execution, lineage checkpoints, and
+  * mid-pipeline resume (the north rule's resumability contract). */
+class PipelineSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def tmp(): String = java.nio.file.Files
+    .createTempDirectory("graftpipe").toString
+
+  test("range fixture pipeline end-to-end (F2 via JSON spec)") {
+    val spec =
+      """{ "pipeline": [
+        |  {"type": "readers.faux", "mode": "ramp",
+        |   "bounds": [0, 0, 1, 0, 0, 10], "count": 10},
+        |  {"type": "filters.range",
+        |   "limits": [{"dimension": "z", "min": 4, "max": 6}]}
+        |]}""".stripMargin
+    val out = Pipeline.run(spark, spec).df
+    assert(out.select("z").collect().map(_.getDouble(0)).sorted.toSeq === Seq(4.0, 5.0, 6.0))
+  }
+
+  test("checkpointed pipeline resumes without recomputing unchanged stages") {
+    val ck = tmp(); val outP = tmp() + "/out"
+    def spec(maxZ: Double) =
+      s"""{ "pipeline": [
+         |  {"type": "readers.faux", "mode": "ramp",
+         |   "bounds": [0, 0, 0, 100, 100, 100], "count": 1000},
+         |  {"type": "filters.range", "checkpoint": true,
+         |   "limits": [{"dimension": "z", "min": 10, "max": $maxZ}]},
+         |  {"type": "filters.splitter", "length": 25, "checkpoint": true},
+         |  {"type": "writers.parquet", "path": "$outP"}
+         |], "checkpoint_root": "$ck" }""".stripMargin
+
+    val first = Pipeline.run(spark, spec(60))
+    assert(first.resumedStages.isEmpty && first.ranStages.size === 4)
+    val rows1 = first.df.count()
+
+    // identical re-run: checkpointed stages resume, nothing recomputed
+    val second = Pipeline.run(spark, spec(60))
+    assert(second.resumedStages.size === 3, s"resumed ${second.resumedStages}")
+    assert(second.df.count() === rows1)
+
+    // config change invalidates downstream fingerprints -> full re-run
+    val third = Pipeline.run(spark, spec(80))
+    assert(third.resumedStages.isEmpty)
+    assert(third.df.count() > rows1)
+
+    // lineage manifest sanity: per-partition rows sum to the total
+    val m = Manifest.read(ck, "001_filters_range").get
+    assert(m.partitions.nonEmpty)
+    assert(m.totalRows === spark.read.parquet(s"$ck/001_filters_range/data").count())
+  }
+
+  test("manifest digests detect partition corruption") {
+    val ck = tmp()
+    val df = sources.Faux.ramp(spark, sources.Faux.Box3(0, 0, 0, 10, 10, 10), 100)
+    val m = Manifest.checkpoint(ck, "s0", "fp0", Nil, df)
+    val reread = Manifest.lineageOf(Manifest.readData(spark, ck, "s0"))
+    assert(reread === m.partitions)
+    val json = Manifest.toJson(m)
+    assert(Manifest.fromJson(json) === m)
+  }
+
+  test("span-sequence invariant holds through a filtering pipeline") {
+    val docs = DocSynth.cachedDocs(spark, "/root/testdata/sf0.001")
+    val pts = Model.explodePoints(docs)
+    // crop away some points, then implode: surviving docs must preserve
+    // the order and content of all non-point spans + surviving points
+    val cropped = operators.PointOps.cropBox(
+      operators.PointOps.Box3D(0, 0, 0, 600, 600, 1000))(pts)
+    val result = Model.implode(docs, cropped)
+    val sigs = Model.spanSignature(result)
+    // every surviving doc's non-point spans appear in original order
+    val orig = Model.spanSignature(docs)
+    val joined = sigs.as("a").join(orig.as("b"), "doc_id")
+      .select(col("a.sig").as("got"), col("b.sig").as("want"))
+      .collect()
+    joined.foreach { r =>
+      val got = r.getString(0).split('|').toSeq
+      val want = r.getString(1).split('|').toSeq
+      // got must be a subsequence of want (points removed, order kept)
+      var i = 0
+      got.foreach { g =>
+        val j = want.indexOf(g, i)
+        assert(j >= 0, s"span $g out of order or missing")
+        i = j + 1
+      }
+      // all non-point spans survive
+      val wantNonPoint = want.filterNot(_.startsWith("point:"))
+      val gotNonPoint = got.filterNot(_.startsWith("point:"))
+      assert(gotNonPoint === wantNonPoint)
+    }
+  }
+}
