@@ -52,8 +52,10 @@ object DocSynth {
   /** The canonical doc table for a testdata dir. One shuffle (groupBy
     * doc_id). At production scale this table would be the stored input
     * (partitioned by cell cover of its points); here it is synthesized. */
-  def docTable(spark: SparkSession, sfDir: String): DataFrame = {
-    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+  def docTable(spark: SparkSession, sfDir: String): DataFrame =
+    docTableFrom(spark.read.parquet(s"$sfDir/lineitem.parquet"))
+
+  def docTableFrom(li: DataFrame): DataFrame = {
     val q = quantized(li)
     val pointSpans = q.select(col("doc_id"),
       lit("point").as("kind"),
@@ -87,6 +89,33 @@ object DocSynth {
 
   def cachedDocs(spark: SparkSession, sfDir: String): DataFrame =
     memo.getOrElseUpdate(sfDir, docTable(spark, sfDir).persist())
+
+  /** Deterministically replicated doc table for scale benchmarks: R
+    * replicas, each with distinct doc ids and shifted coordinates (a
+    * pure projection fan-out — rows materialize in the executors, never
+    * the driver, exactly like reading an R-times-larger table). */
+  def docTableReplicated(spark: SparkSession, sfDir: String, replicas: Int): DataFrame = {
+    // the testdata parquet has ONE row group (physically unsplittable):
+    // fan the 600k base rows out round-robin BEFORE the R-fold expansion
+    // so the expansion runs on all cores. At production scale the source
+    // has thousands of row groups and this repartition disappears.
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .repartition(math.max(spark.sparkContext.defaultParallelism * 2, 16))
+    val rep = spark.range(replicas).select(col("id").as("__rep"))
+    val liR = li.crossJoin(rep)
+      .withColumn("l_orderkey", col("l_orderkey") * replicas + col("__rep"))
+      .withColumn("l_partkey", col("l_partkey") + col("__rep") * 131)
+      .withColumn("l_suppkey", col("l_suppkey") + col("__rep") * 17)
+      .drop("__rep")
+    docTableFrom(liR)
+  }
+
+  /** Drop memoized tables (required between SparkSessions — a cached DF
+    * is bound to its (stopped) context). */
+  def clearCache(): Unit = {
+    memo.values.foreach(df => try df.unpersist() catch { case _: Throwable => () })
+    memo.clear()
+  }
 
   /** The flat point frame for a testdata dir, via the honest path
     * (doc table -> explode -> decode). */
