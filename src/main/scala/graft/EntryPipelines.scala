@@ -118,6 +118,15 @@ object EntryPipelines {
       AnnOps.cosineTopK(queryVec, k = 25)(embs(s, dir))
         .select(col("vec_id"), col("label"), round(col("sim"), 6).as("sim6"))),
 
+    // ---- streaming ----------------------------------------------------
+    "q_stream_window" -> ((s, dir) => {
+      val name = "stream_win_" + java.util.UUID.randomUUID.toString.replace("-", "")
+      graft.streaming.StreamOps.runToCompletion(s, s"$dir/events.parquet",
+        df => graft.streaming.StreamOps.windowedStats(df), name)
+        .select(col("win_start"), col("event_type"), col("n"),
+          round(col("sum_value"), 4).as("sum4"))
+    }),
+
     // ---- multimodal ---------------------------------------------------
     "q_media_meta" -> ((s, dir) => {
       val withBlob = docs(s, dir).withColumn("blob",
@@ -326,6 +335,12 @@ object EntryPipelines {
            |  FROM embeddings, q)
            |SELECT vec_id, label, round(sim, 6) AS sim6 FROM scored
            |ORDER BY sim DESC, vec_id LIMIT 25""".stripMargin,
+
+      "q_stream_window" ->
+        """SELECT CAST(epoch(time_bucket(INTERVAL 1 HOUR, ts)) AS BIGINT) AS win_start,
+          |       event_type, CAST(count(*) AS BIGINT) AS n,
+          |       round(sum(value), 4) AS sum4
+          |FROM events GROUP BY 1, 2""".stripMargin,
 
       "q_media_meta" ->
         """WITH b AS (

@@ -1,0 +1,108 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession, Dataset, Encoders}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.streaming.{Trigger, OutputMode, GroupState, GroupStateTimeout}
+
+/** Structured Streaming surface. The reference is strictly batch
+  * (SURVEY.md §2.7 — its StreamPointTable postdates this fork), so this
+  * module is the engine's forward-looking ingest path: the same
+  * operators run over an unbounded stream of documents/events, with
+  * watermarked event-time windows and checkpointed state. The batch
+  * oracle still applies: a stream drained over a static directory must
+  * equal the batch aggregation of the same files.
+  */
+object StreamOps {
+
+  val eventSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", TimestampType),
+    StructField("user_id", LongType), StructField("event_type", StringType),
+    StructField("value", DoubleType), StructField("props", StringType)))
+
+  /** Watermarked sliding-window aggregate per event type. */
+  def windowedStats(events: DataFrame, window_ : String = "1 hour",
+                    watermark: String = "2 hours"): DataFrame = {
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), window_), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .select(unix_timestamp(col("window.start")).as("win_start"),
+        col("event_type"), col("n"), col("sum_value"))
+  }
+
+  /** Drain a streaming aggregation over a static parquet dir through a
+    * memory sink (complete mode) and return the result table — the test
+    * and verification entry (one micro-batch per file group). */
+  def runToCompletion(spark: SparkSession, parquetPath: String,
+                      agg: DataFrame => DataFrame,
+                      name: String): DataFrame = {
+    // readStream needs a directory; a single-file input streams via its
+    // parent dir + a glob filter
+    val f = new java.io.File(parquetPath)
+    val reader = spark.readStream.schema(eventSchema)
+    val stream =
+      if (f.isFile) reader.option("pathGlobFilter", f.getName).parquet(f.getParent)
+      else reader.parquet(parquetPath)
+    val q = agg(stream).writeStream
+      .outputMode(OutputMode.Complete())
+      .format("memory").queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+  }
+
+  // ---- stateful sessionization -----------------------------------------
+
+  final case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+                         event_type: String, value: Double)
+  final case class SessionState(count: Long, sum: Double, lastTs: Long)
+  final case class SessionOut(user_id: Long, n_events: Long, sum_value: Double)
+
+  /** Per-user session aggregation via mapGroupsWithState — the custom-
+    * state shape (KeyValueGroupedDataset) for operators windowing can't
+    * express. Sessions time out after `gapMs` of processing-time silence. */
+  def sessionize(events: Dataset[Event], gapMs: Long): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .mapGroupsWithState(GroupStateTimeout.ProcessingTimeTimeout)(
+        (user: Long, evs: Iterator[Event], state: GroupState[SessionState]) => {
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            SessionOut(user, s.count, s.sum)
+          } else {
+            val prev = state.getOption.getOrElse(SessionState(0, 0.0, 0L))
+            var c = prev.count; var sm = prev.sum; var last = prev.lastTs
+            evs.foreach { e => c += 1; sm += e.value; last = math.max(last, e.ts.getTime) }
+            state.update(SessionState(c, sm, last))
+            state.setTimeoutDuration(gapMs)
+            SessionOut(user, c, sm)
+          }
+        })
+  }
+
+  /** Streaming document ingest: drain a doc-table stream, explode point
+    * spans, assign tiles, and append tile-partitioned parquet per
+    * micro-batch via foreachBatch (each batch also lands a lineage
+    * manifest — the streaming twin of Pipeline's checkpoints). */
+  def ingestDocs(spark: SparkSession, docPath: String, outPath: String,
+                 ckRoot: String, tileLength: Double): Unit = {
+    val docSchema = graft.model.Model.docSchema
+    val stream = spark.readStream.schema(docSchema).parquet(docPath)
+    val q = stream.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val pts = graft.model.Model.explodePoints(batch)
+        val tiled = graft.operators.TileOps.splitter(tileLength, 0, 0)(pts)
+        tiled.write.mode("append").partitionBy("tile_x").parquet(outPath)
+        graft.plans.Manifest.checkpoint(ckRoot, f"batch_$batchId%05d",
+          s"ingest-$batchId", Nil, tiled)
+        ()
+      }
+      .option("checkpointLocation", s"$ckRoot/_stream_ck")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+}

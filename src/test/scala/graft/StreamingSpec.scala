@@ -1,0 +1,51 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.streaming.StreamOps
+import graft.sources.DocSynth
+
+/** Structured Streaming: drained stream equals batch; stateful
+  * sessionization; streaming doc ingest with per-batch lineage. */
+class StreamingSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  test("drained windowed stream equals the batch aggregation") {
+    val dir = "/root/testdata/sf0.001"
+    val streamed = StreamOps.runToCompletion(spark, s"$dir/events.parquet",
+      df => StreamOps.windowedStats(df), "t_stream_eq_batch")
+      .select("win_start", "event_type", "n")
+    val batch = spark.read.parquet(s"$dir/events.parquet")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(unix_timestamp(col("window.start")).as("win_start"),
+        col("event_type"), col("n"))
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+  }
+
+  test("sessionization accumulates per-user state") {
+    val events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+      .as[StreamOps.Event]
+    val out = StreamOps.sessionize(events, gapMs = 60000).cache()
+    val perUser = out.groupBy("user_id").agg(max("n_events").as("n"))
+    val expect = events.groupBy("user_id").count()
+    val joined = perUser.join(expect, "user_id")
+      .filter(col("n") =!= col("count"))
+    assert(joined.count() === 0, "session counts disagree with batch counts")
+  }
+
+  test("streaming doc ingest writes tiles and per-batch lineage manifests") {
+    val tmp = java.nio.file.Files.createTempDirectory("graftstream").toString
+    val docs = DocSynth.cachedDocs(spark, "/root/testdata/sf0.001")
+    docs.write.mode("overwrite").parquet(s"$tmp/docs")
+    StreamOps.ingestDocs(spark, s"$tmp/docs", s"$tmp/out", s"$tmp/ck", 128.0)
+    val out = spark.read.parquet(s"$tmp/out")
+    assert(out.count() === graft.model.Model.explodePoints(docs).count())
+    assert(out.columns.contains("tile_x"))
+    val manifests = new java.io.File(tmp, "ck").listFiles()
+      .filter(_.getName.startsWith("batch_"))
+    assert(manifests.nonEmpty, "no lineage manifests written")
+  }
+}
