@@ -72,6 +72,26 @@ object JoinOps {
     df.filter(if (outside) !inside else inside)
   }
 
+  /** Document-level crop: prune whole documents by their stored bbox
+    * columns BEFORE exploding spans — the Iceberg-manifest / tindex
+    * analog (reference kernels/tindex/TIndexKernel.cpp:285-397 prunes
+    * files by boundary polygon before reading them). On a doc table
+    * written with [[graft.sources.DocSynth.withDocBounds]] the bbox
+    * conjunction reaches the parquet scan as min/max-stat row-group
+    * skipping, so documents wholly outside the polygon are never
+    * decoded. Survivors explode and get the exact PIP filter. */
+  def cropPolygonDocs(wkt: String, space: CellSpace = CellSpace.default)
+                     (docs: DataFrame): DataFrame = {
+    val geom = PolygonCover.fromWkt(wkt)
+    val env = geom.getEnvelopeInternal
+    val pruned =
+      if (docs.columns.contains("minx"))
+        docs.filter(col("maxx") >= env.getMinX && col("minx") <= env.getMaxX &&
+          col("maxy") >= env.getMinY && col("miny") <= env.getMaxY)
+      else docs
+    cropPolygon(wkt, space = space)(graft.model.Model.explodePoints(pruned))
+  }
+
   /** filters.attribute, PIP mode (AttributeFilter.cpp:238-336): for each
     * point, find the polygons containing it and set `dim` to the LAST
     * matching feature's value (the reference iterates features in order,

@@ -110,6 +110,20 @@ object DocSynth {
     docTableFrom(liR)
   }
 
+  /** Attach per-document bounding-box columns (computed from point
+    * spans) for storage: parquet then carries doc-level min/max stats so
+    * spatial predicates skip whole row groups without decoding spans —
+    * the QuickInfo/tindex preview the reference does per file
+    * (LasReader.cpp:122-140 inspect; TIndexKernel boundary index),
+    * expressed as ordinary column statistics. */
+  def withDocBounds(docs: DataFrame): DataFrame = {
+    val pts = Model.explodePoints(docs)
+    val bounds = pts.groupBy(col("doc_id")).agg(
+      min("x").as("minx"), max("x").as("maxx"),
+      min("y").as("miny"), max("y").as("maxy"))
+    docs.join(bounds, Seq("doc_id"), "left")
+  }
+
   /** Drop memoized tables (required between SparkSessions — a cached DF
     * is bound to its (stopped) context). */
   def clearCache(): Unit = {

@@ -1,0 +1,103 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.DataFrame
+import graft.operators._
+import graft.sources.DocSynth
+
+/** Physical-plan quality gates: these assertions pin the properties that
+  * make the operators scale — filters reaching the parquet scan, custom
+  * expressions staying inside whole-stage codegen, small sides being
+  * broadcast, aggregates running partial+final. A regression here is a
+  * performance bug even when results stay correct. */
+class PlanQualitySpec extends AnyFunSuite {
+  import TestSpark._
+
+  private lazy val ptsPath: String = {
+    val p = java.nio.file.Files.createTempDirectory("graftplan").toString + "/pts"
+    DocSynth.points(spark, "/root/testdata/sf0.001")
+      .write.mode("overwrite").parquet(p)
+    p
+  }
+  private def stored: DataFrame = spark.read.parquet(ptsPath)
+
+  private def planOf(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("range filter pushes down to the parquet scan") {
+    val plan = planOf(PointOps.range(Seq(PointOps.DimRange("z", 100, 200)))(stored))
+    assert(plan.contains("PushedFilters:") &&
+      plan.contains("GreaterThanOrEqual(z,100.0)"), s"no pushdown in:\n$plan")
+  }
+
+  test("crop box bbox pushes down and scan prunes columns") {
+    val df = PointOps.cropBox(PointOps.Box3D(100, 100, 0, 400, 400, 1000))(stored)
+      .select("doc_id", "x", "y")
+    val plan = planOf(df)
+    assert(plan.contains("GreaterThanOrEqual(x,100.0)"), "x bound not pushed")
+    // column pruning: z is needed for the filter but intensity/gps_time are not
+    assert(!plan.contains("intensity"), s"unpruned scan:\n$plan")
+  }
+
+  test("polygon crop stays inside whole-stage codegen") {
+    val hexWkt = "POLYGON ((800.3 500.7, 650.3 760.7, 350.3 760.7, 200.3 500.7, 350.3 240.7, 650.3 240.7, 800.3 500.7))"
+    val df = JoinOps.cropPolygon(hexWkt)(stored)
+    val plan = planOf(df)
+    // the Filter containing the PIP test must carry a codegen stage id
+    // ("*(n) Filter"), i.e. our custom expressions didn't fall back
+    val filterLines = plan.linesIterator.filter(_.contains("st_contains_xy")).toSeq
+    assert(filterLines.nonEmpty, s"no PIP filter in:\n$plan")
+    assert(filterLines.exists(_.trim.startsWith("*")),
+      s"PIP filter fell out of codegen:\n${filterLines.mkString("\n")}")
+    // and the bbox prefilter reached the scan
+    assert(plan.contains("GreaterThanOrEqual(x,200.3)"), "bbox not pushed")
+  }
+
+  test("colorization raster join is a broadcast hash join") {
+    val raster = spark.range(0, 256L * 256)
+      .select((col("id") % 256).as("px"),
+        floor(col("id") / 256).cast("long").as("py"),
+        (col("id") % 251).cast("double").as("band1"))
+    val df = JoinOps.colorize(raster, Array(0, 4, 0, 0, 0, 4),
+      Seq(("band1", "red", 1.0)))(stored)
+    assert(planOf(df).contains("BroadcastHashJoin"), "raster join not broadcast")
+  }
+
+  test("attribute PIP join broadcasts the cover") {
+    val feats = Seq(("POLYGON ((100.3 100.7, 600.3 100.7, 600.3 600.7, 100.3 600.7, 100.3 100.7))", 1.0))
+    val df = JoinOps.attributeJoin(feats, "attr")(stored.withColumn("attr", lit(0.0)))
+    assert(planOf(df).contains("BroadcastHashJoin"), "cover join not broadcast")
+  }
+
+  test("voxel grid is a partial+final hash aggregate (map-side combine)") {
+    val plan = planOf(AggOps.voxelGrid(8, 8, 4)(stored))
+    val hashAggs = plan.linesIterator.count(_.contains("HashAggregate"))
+    assert(hashAggs >= 2, s"expected partial+final HashAggregate:\n$plan")
+  }
+
+  test("doc-level bbox pruning preserves polygon-crop results and pushes down") {
+    val hexWkt = "POLYGON ((800.3 500.7, 650.3 760.7, 350.3 760.7, 200.3 500.7, 350.3 240.7, 650.3 240.7, 800.3 500.7))"
+    val docs = DocSynth.withDocBounds(DocSynth.cachedDocs(spark, "/root/testdata/sf0.001"))
+    val p = java.nio.file.Files.createTempDirectory("graftdocb").toString + "/docs"
+    docs.write.mode("overwrite").parquet(p)
+    val storedDocs = spark.read.parquet(p)
+    val viaDocs = JoinOps.cropPolygonDocs(hexWkt)(storedDocs)
+      .select("doc_id", "span_idx")
+    val direct = JoinOps.cropPolygon(hexWkt)(
+      graft.model.Model.explodePoints(storedDocs)).select("doc_id", "span_idx")
+    assert(viaDocs.exceptAll(direct).isEmpty && direct.exceptAll(viaDocs).isEmpty)
+    // the doc bbox conjunction reaches the parquet scan
+    val plan = viaDocs.queryExecution.executedPlan.toString
+    assert(plan.contains("GreaterThanOrEqual(maxx,"), s"doc bbox not pushed:\n$plan")
+  }
+
+  test("morton key and cell id are codegen'd projections") {
+    val df = stored.select(
+      graft.functions.SpatialFunctions.mortonKey(col("x"), col("y")).as("mk"),
+      graft.functions.SpatialFunctions.cellId(col("x"), col("y"), 10).as("cell"))
+    val plan = planOf(df)
+    val prj = plan.linesIterator.filter(l => l.contains("morton_key")).toSeq
+    assert(prj.exists(_.trim.startsWith("*")), s"morton not codegen'd:\n$plan")
+  }
+}
