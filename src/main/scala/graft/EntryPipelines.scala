@@ -118,6 +118,27 @@ object EntryPipelines {
       AnnOps.cosineTopK(queryVec, k = 25)(embs(s, dir))
         .select(col("vec_id"), col("label"), round(col("sim"), 6).as("sim6"))),
 
+    "q_ror" -> ((s, dir) => {
+      val sub = pts(s, dir).filter(col("intensity") % 23 === 0)
+      InfoOps.radiusOutlierRemoval(radius = 40.0, minNeighbors = 2, level = 4)(sub)
+        .select("doc_id", "span_idx")
+    }),
+
+    "q_knn_query" -> ((s, dir) =>
+      InfoOps.knnQuery(333.3, 444.4, k = 50)(pts(s, dir))
+        .select("doc_id", "span_idx", "x", "y", "dist")),
+
+    "q_salted_agg" -> ((s, dir) => {
+      val tiled = TileOps.splitter(64.0, 0.0, 0.0)(pts(s, dir))
+      SkewOps.saltedAgg(Seq(col("tile_x"), col("tile_y")), salts = 8,
+        partialExprs = Seq(count(lit(1)).as("pn"), sum(col("z")).as("ps")),
+        finalExprs = Seq(sum(col("pn")).as("n"), sum(col("ps")).as("sum_z")))(tiled)
+    }),
+
+    "q_adaptive_cells" -> ((s, dir) =>
+      SkewOps.adaptiveCells(budget = 2000, baseLevel = 2, maxLevel = 8)(pts(s, dir))
+        .groupBy(col("cell")).agg(count(lit(1)).as("n"))),
+
     // ---- streaming ----------------------------------------------------
     "q_stream_window" -> ((s, dir) => {
       val name = "stream_win_" + java.util.UUID.randomUUID.toString.replace("-", "")
@@ -335,6 +356,32 @@ object EntryPipelines {
            |  FROM embeddings, q)
            |SELECT vec_id, label, round(sim, 6) AS sim6 FROM scored
            |ORDER BY sim DESC, vec_id LIMIT 25""".stripMargin,
+
+      "q_ror" ->
+        s"""WITH $P,
+           |sub AS (SELECT * FROM pts WHERE intensity % 23 = 0),
+           |nn AS (
+           |  SELECT a.doc_id, a.span_idx, count(*) AS c
+           |  FROM sub a JOIN sub b
+           |    ON NOT (a.doc_id = b.doc_id AND a.span_idx = b.span_idx)
+           |   AND sqrt((a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
+           |            + (a.z - b.z) * (a.z - b.z)) <= 40.0
+           |  GROUP BY a.doc_id, a.span_idx)
+           |SELECT doc_id, span_idx FROM nn WHERE c >= 2""".stripMargin,
+
+      "q_knn_query" ->
+        s"""WITH $P
+           |SELECT doc_id, span_idx, x, y,
+           |       sqrt((x - 333.3) * (x - 333.3) + (y - 444.4) * (y - 444.4)) AS dist
+           |FROM pts
+           |ORDER BY dist, doc_id, span_idx LIMIT 50""".stripMargin,
+
+      "q_salted_agg" ->
+        s"""WITH $P
+           |SELECT CAST(trunc(x / 64.0) AS INT) AS tile_x,
+           |       CAST(trunc(y / 64.0) AS INT) AS tile_y,
+           |       CAST(count(*) AS BIGINT) AS n, sum(z) AS sum_z
+           |FROM pts GROUP BY 1, 2""".stripMargin,
 
       "q_stream_window" ->
         """SELECT CAST(epoch(time_bucket(INTERVAL 1 HOUR, ts)) AS BIGINT) AS win_start,

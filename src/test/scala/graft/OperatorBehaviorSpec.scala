@@ -138,6 +138,38 @@ class OperatorBehaviorSpec extends AnyFunSuite {
       boom.getCause != null && boom.getCause.getMessage.contains("out of range"))
   }
 
+  test("adaptive cell splitting bounds dense cells and keeps sparse cells coarse") {
+    // dense blob in one corner + sparse background
+    val dense = Faux.uniform(spark, Faux.Box3(0, 0, 0, 50, 50, 1), 20000, seed = 9, "dense")
+    val sparse = Faux.uniform(spark, Faux.Box3(0, 0, 0, 1000, 1000, 1), 2000, seed = 10, "sparse")
+    val df = dense.unionByName(sparse)
+    val out = SkewOps.adaptiveCells(budget = 1000, baseLevel = 2, maxLevel = 10)(df).cache()
+    val counts = out.groupBy("cell").count().cache()
+    val over = counts.filter(col("count") > 1000)
+      .filter((col("cell").bitwiseAND(lit(63L))) < 10) // non-max-level cells must respect budget
+    assert(over.count() === 0, "non-max-level cell over budget")
+    // mixed resolutions present: the dense corner went finer than base
+    val levels = counts.select((col("cell").bitwiseAND(lit(63L))).as("lvl"))
+      .distinct().collect().map(_.getLong(0)).toSet
+    assert(levels.size > 1, s"no adaptive refinement happened: $levels")
+    // determinism: a second run assigns identical cells
+    val out2 = SkewOps.adaptiveCells(budget = 1000, baseLevel = 2, maxLevel = 10)(df)
+    assert(out.select("doc_id", "span_idx", "cell")
+      .exceptAll(out2.select("doc_id", "span_idx", "cell")).isEmpty)
+  }
+
+  test("salted aggregation equals direct aggregation") {
+    val df = Faux.uniform(spark, Faux.Box3(0, 0, 0, 100, 100, 100), 5000, seed = 21)
+    // double sums are compared rounded: a salted (two-stage) aggregation
+    // legitimately adds in a different order than a direct one
+    val direct = df.groupBy(floor(col("x") / 10).as("k"))
+      .agg(count(lit(1)).as("n"), round(sum("z"), 5).as("s"))
+    val salted = SkewOps.saltedAgg(Seq(floor(col("x") / 10).as("k")), 8,
+      Seq(count(lit(1)).as("pn"), sum("z").as("ps")),
+      Seq(sum("pn").as("n"), round(sum("ps"), 5).as("s")))(df)
+    assert(salted.exceptAll(direct).isEmpty && direct.exceptAll(salted).isEmpty)
+  }
+
   test("type widening lattice matches the reference resolution rules") {
     assert(Model.widen(ShortType, IntegerType) === IntegerType)
     assert(Model.widen(LongType, FloatType) === DoubleType)
