@@ -16,7 +16,10 @@ object EntryPipelines {
 
   private def pts(s: SparkSession, dir: String): DataFrame = DocSynth.points(s, dir)
   private def docs(s: SparkSession, dir: String): DataFrame =
+    // the documents parquet is one file (one scan partition): fan out so
+    // per-row text analysis uses every core
     s.read.parquet(s"$dir/documents.parquet")
+      .repartition(s.sparkContext.defaultParallelism)
   private def embs(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/embeddings.parquet")
 

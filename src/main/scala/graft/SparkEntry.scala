@@ -117,19 +117,20 @@ object SparkEntry {
 
     // ---- sorts ----------------------------------------------------------
     "q_sort" -> ((s, dir) => {
+      // distributed top-k (TakeOrderedAndProject) first; the rank window
+      // then runs over 500 rows, not the whole table
+      val top = pts(s, dir).orderBy(col("x"), col("doc_id"), col("span_idx")).limit(500)
       val w = Window.orderBy(col("x"), col("doc_id"), col("span_idx"))
-      PointOps.sortBy("x")(pts(s, dir))
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") <= 500)
+      top.withColumn("rn", row_number().over(w))
         .select("rn", "doc_id", "span_idx", "x")
     }),
 
     "q_morton_sort" -> ((s, dir) => {
       val mk = SpatialFunctions.mortonKey(col("x"), col("y"))
+      val top = pts(s, dir).withColumn("mk", mk)
+        .orderBy(col("mk"), col("doc_id"), col("span_idx")).limit(500)
       val w = Window.orderBy(col("mk"), col("doc_id"), col("span_idx"))
-      pts(s, dir).withColumn("mk", mk)
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") <= 500)
+      top.withColumn("rn", row_number().over(w))
         .select("rn", "doc_id", "span_idx", "mk")
     }),
 

@@ -64,31 +64,74 @@ object SkewOps {
   def adaptiveCells(budget: Long, baseLevel: Int, maxLevel: Int,
                     space: CellSpace = CellSpace.default)(df: DataFrame): DataFrame = {
     require(maxLevel >= baseLevel)
-    var level = baseLevel
-    var out = df.withColumn("cell",
-      SpatialFunctions.cellId(col("x"), col("y"), baseLevel, space))
-    // iteratively: find over-budget cells at the current level, push
-    // ONLY their points one level down
-    while (level < maxLevel) {
-      val dense = out.filter(lvlOf(col("cell")) === level)
-        .groupBy(col("cell")).agg(count(lit(1)).as("n"))
-        .filter(col("n") > budget)
-        .select("cell").collect().map(_.getLong(0))
-      if (dense.isEmpty) return out
-      val denseSet = {
-        val s = new java.util.HashSet[java.lang.Long](dense.length * 2)
-        dense.foreach(s.add(_)); s
-      }
-      val inDense = org.apache.spark.sql.graftbridge.ColumnBridge.column(
-        CellSetContains(org.apache.spark.sql.graftbridge.ColumnBridge.expression(col("cell")),
-          denseSet))
-      level += 1
-      out = out.withColumn("cell",
-        when(inDense, SpatialFunctions.cellId(col("x"), col("y"), level, space))
-          .otherwise(col("cell")))
+    // ONE aggregate at the finest level; all refinement decisions happen
+    // on the (occupied-cells-only) histogram driver-side, then a single
+    // descend-the-split-set pass assigns final cells. Equivalent to
+    // per-level refinement (a cell's level-L count is its subtree total)
+    // at 1 job instead of maxLevel-baseLevel jobs. Driver memory is
+    // O(occupied cells at maxLevel) — for deeper ladders at extreme
+    // scale, pre-aggregate the histogram at a coarser "histogram level"
+    // or keep it distributed with a join instead of a broadcast set.
+    val hist = df
+      .groupBy(SpatialFunctions.cellId(col("x"), col("y"), maxLevel, space).as("c"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    // roll counts up the ladder
+    val counts = new java.util.HashMap[java.lang.Long, Long]()
+    hist.foreach { case (c, n) =>
+      var id = c; var lvl = maxLevel
+      counts.merge(id, n, (a, b) => a + b)
+      while (lvl > baseLevel) { id = space.parent(id); lvl -= 1
+        counts.merge(id, n, (a, b) => a + b) }
     }
-    out
+    // split set: over-budget cells that still have room to split
+    val splitSet = new java.util.HashSet[java.lang.Long]()
+    counts.forEach { (id, n) =>
+      if (n > budget && CellSpace.level(id) < maxLevel) splitSet.add(id)
+    }
+    val assign = org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      AdaptiveCellExpr(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(col("x")),
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(col("y")),
+        space, baseLevel, maxLevel, splitSet))
+    df.withColumn("cell", assign)
   }
 
   private def lvlOf(cell: Column): Column = cell.bitwiseAND(lit(63L)).cast(IntegerType)
+
+  def descend(x: Double, y: Double, space: CellSpace, baseLevel: Int,
+              maxLevel: Int, splitSet: java.util.HashSet[java.lang.Long]): Long = {
+    var lvl = baseLevel
+    var id = space.cellAt(x, y, lvl)
+    while (lvl < maxLevel && splitSet.contains(id)) {
+      lvl += 1
+      id = space.cellAt(x, y, lvl)
+    }
+    id
+  }
+}
+
+/** Mixed-resolution cell assignment: descend the ladder while the
+  * current cell is in the (broadcast) split set. */
+case class AdaptiveCellExpr(left: org.apache.spark.sql.catalyst.expressions.Expression,
+                            right: org.apache.spark.sql.catalyst.expressions.Expression,
+                            space: CellSpace, baseLevel: Int, maxLevel: Int,
+                            splitSet: java.util.HashSet[java.lang.Long])
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression with Serializable {
+  import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+  import org.apache.spark.sql.catalyst.expressions.Expression
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "adaptive_cell"
+  override protected def nullSafeEval(x: Any, y: Any): Any =
+    SkewOps.descend(x.asInstanceOf[Double], y.asInstanceOf[Double],
+      space, baseLevel, maxLevel, splitSet)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val sp = ctx.addReferenceObj("space", space, classOf[CellSpace].getName)
+    val ss = ctx.addReferenceObj("splitSet", splitSet, "java.util.HashSet<Long>")
+    nullSafeCodeGen(ctx, ev, (x, y) =>
+      s"${ev.value} = graft.operators.SkewOps.descend($x, $y, $sp, $baseLevel, $maxLevel, $ss);")
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
 }

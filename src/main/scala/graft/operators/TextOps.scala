@@ -120,21 +120,109 @@ object TextOps {
 
   /** MinHash signature: perm p's hash of shingle s is md5(p:s); the
     * signature element is the lexicographic min (hex strings order like
-    * the underlying 128-bit values). */
-  def minhashSignature(numPerms: Int, shingleN: Int): Column = {
-    val sh = shingles(shingleN)
-    transform(sequence(lit(0), lit(numPerms - 1)),
-      p => array_min(transform(sh, s => md5(concat(p.cast(StringType), lit(":"), s)))))
-  }
+    * the underlying 128-bit values).
+    *
+    * Computed by [[MinHashBands]] in ONE JVM pass per row: the naive
+    * nested higher-order-function formulation re-evaluates the shingle
+    * array per permutation and the signature per band (interpreted, no
+    * codegen, no subexpression elimination inside lambdas) — measured
+    * minutes instead of seconds on a few thousand documents. */
+  def minhashSignature(numPerms: Int, shingleN: Int): Column =
+    MinHashBands.sigCol(wordsCol, numPerms, shingleN)
 
   /** LSH banding: band b's key is md5 of its slice of the signature.
     * numPerms = bands * rowsPerBand. */
-  def lshBandKeys(numPerms: Int, shingleN: Int, bands: Int): Column = {
-    val rows = numPerms / bands
-    val sig = minhashSignature(numPerms, shingleN)
-    transform(sequence(lit(0), lit(bands - 1)),
-      b => md5(concat(b.cast(StringType), lit("|"),
-        concat_ws(",", slice(sig, b * rows + 1, lit(rows))))))
+  def lshBandKeys(numPerms: Int, shingleN: Int, bands: Int): Column =
+    MinHashBands.bandsCol(wordsCol, numPerms, shingleN, bands)
+
+  /** Single-pass MinHash signature + LSH band keys — bit-identical to
+    * the md5-anchored SQL oracle formulation (sig element p =
+    * min_s md5Hex(p + ":" + s); band b = md5Hex(b + "|" +
+    * sig[b*r..b*r+r).mkString(","))). */
+  object MinHashBands {
+    import org.apache.spark.sql.graftbridge.{ColumnBridge => EU}
+    import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+    import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+    import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+    import org.apache.spark.unsafe.types.UTF8String
+
+    private val digest = new ThreadLocal[java.security.MessageDigest] {
+      override def initialValue(): java.security.MessageDigest =
+        java.security.MessageDigest.getInstance("MD5")
+    }
+    private val HexChars = "0123456789abcdef".toCharArray
+
+    def md5Hex(s: String): String = {
+      val md = digest.get(); md.reset()
+      val h = md.digest(s.getBytes("UTF-8"))
+      val out = new Array[Char](32)
+      var i = 0
+      while (i < 16) {
+        out(i * 2) = HexChars((h(i) >> 4) & 0xf)
+        out(i * 2 + 1) = HexChars(h(i) & 0xf)
+        i += 1
+      }
+      new String(out)
+    }
+
+    def shinglesOf(words: IndexedSeq[String], n: Int): IndexedSeq[String] =
+      if (words.length < n) IndexedSeq(words.mkString(" "))
+      else (0 to words.length - n).map(i => words.slice(i, i + n).mkString(" "))
+
+    def signature(words: IndexedSeq[String], numPerms: Int, shingleN: Int): Array[String] = {
+      val sh = shinglesOf(words, shingleN)
+      Array.tabulate(numPerms) { p =>
+        var best: String = null
+        sh.foreach { s =>
+          val h = md5Hex(p.toString + ":" + s)
+          if (best == null || h < best) best = h
+        }
+        best
+      }
+    }
+
+    def bandKeys(words: IndexedSeq[String], numPerms: Int, shingleN: Int,
+                 bands: Int): Array[String] = {
+      val rows = numPerms / bands
+      val sig = signature(words, numPerms, shingleN)
+      Array.tabulate(bands)(b =>
+        md5Hex(b.toString + "|" + sig.slice(b * rows, b * rows + rows).mkString(",")))
+    }
+
+    private def toWords(arr: ArrayData): IndexedSeq[String] =
+      (0 until arr.numElements()).map(i => arr.getUTF8String(i).toString)
+    def evalSig(arr: ArrayData, p: Int, n: Int): ArrayData =
+      new GenericArrayData(signature(toWords(arr), p, n).map(UTF8String.fromString(_)))
+    def evalBands(arr: ArrayData, p: Int, n: Int, b: Int): ArrayData =
+      new GenericArrayData(bandKeys(toWords(arr), p, n, b).map(UTF8String.fromString(_)))
+
+    case class SigExpr(child: Expression, p: Int, n: Int) extends UnaryExpression {
+      override def dataType: DataType = ArrayType(StringType, containsNull = true)
+      override def nullIntolerant: Boolean = true
+      override def prettyName: String = "minhash_sig"
+      override protected def nullSafeEval(v: Any): Any =
+        evalSig(v.asInstanceOf[ArrayData], p, n)
+      override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+        nullSafeCodeGen(ctx, ev, c =>
+          s"${ev.value} = graft.operators.TextOps.MinHashBands.evalSig($c, $p, $n);")
+      override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+    }
+    case class BandsExpr(child: Expression, p: Int, n: Int, b: Int) extends UnaryExpression {
+      override def dataType: DataType = ArrayType(StringType, containsNull = false)
+      override def nullIntolerant: Boolean = true
+      override def prettyName: String = "minhash_bands"
+      override protected def nullSafeEval(v: Any): Any =
+        evalBands(v.asInstanceOf[ArrayData], p, n, b)
+      override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+        nullSafeCodeGen(ctx, ev, c =>
+          s"${ev.value} = graft.operators.TextOps.MinHashBands.evalBands($c, $p, $n, $b);")
+      override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+    }
+
+    def sigCol(words: Column, p: Int, n: Int): Column =
+      EU.column(SigExpr(EU.expression(words), p, n))
+    def bandsCol(words: Column, p: Int, n: Int, b: Int): Column =
+      EU.column(BandsExpr(EU.expression(words), p, n, b))
   }
 
   /** MinHash-LSH near-duplicate grouping: documents sharing any band

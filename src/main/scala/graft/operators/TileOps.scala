@@ -154,6 +154,39 @@ object TileOps {
   }
 }
 
+object HexBoundary {
+  import org.locationtech.jts.geom.{GeometryFactory, Coordinate, Geometry}
+  import org.locationtech.jts.operation.union.CascadedPolygonUnion
+
+  /** Boundary MULTIPOLYGON of the occupied hexes (the reference's
+    * filters.hexbin boundary output, HexBin.cpp:89-146): driver-side
+    * union of the aggregated cells' hexagons — O(#occupied hexes),
+    * which is tiny relative to the point count, exactly like the
+    * reference's hexer summary. Optionally require a minimum density
+    * (hexbin's threshold option). */
+  def boundaryWkt(hexDensity: DataFrame, edge: Double, minDensity: Long = 1): String = {
+    val gf = new GeometryFactory()
+    val cells = hexDensity.filter(col("density") >= minDensity)
+      .select("hex_q", "hex_r").collect()
+    val polys = cells.map { r =>
+      val q = r.getInt(0); val rr = r.getInt(1)
+      // pointy-top axial -> center (inverse of HexGrid axial transform)
+      val cx = edge * math.sqrt(3.0) * (q + rr / 2.0)
+      val cy = edge * 1.5 * rr
+      val coords = (0 to 6).map { i =>
+        val ang = math.Pi / 180 * (60 * i - 30)
+        new Coordinate(cx + edge * math.cos(ang), cy + edge * math.sin(ang))
+      }.toArray
+      gf.createPolygon(coords): Geometry
+    }
+    if (polys.isEmpty) "MULTIPOLYGON EMPTY"
+    else {
+      val union = CascadedPolygonUnion.union(java.util.Arrays.asList(polys: _*))
+      union.toText
+    }
+  }
+}
+
 /** Pointy-top axial hex grid with cube rounding — standard public
   * hexagonal-grid mathematics (Amit Patel's hex grid reference pages /
   * hexer's tessellation). */

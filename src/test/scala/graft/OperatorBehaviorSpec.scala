@@ -170,6 +170,32 @@ class OperatorBehaviorSpec extends AnyFunSuite {
     assert(salted.exceptAll(direct).isEmpty && direct.exceptAll(salted).isEmpty)
   }
 
+  test("hexbin boundary covers the data blob and excludes far space") {
+    val blob = Faux.uniform(spark, Faux.Box3(400, 400, 0, 600, 600, 1), 5000, seed = 33)
+    val density = TileOps.hexDensity(25.0)(blob)
+    val wkt = HexBoundary.boundaryWkt(density, 25.0)
+    val geom = graft.index.PolygonCover.fromWkt(wkt)
+    assert(geom.isValid && !geom.isEmpty)
+    val gf = new org.locationtech.jts.geom.GeometryFactory()
+    assert(geom.covers(gf.createPoint(new org.locationtech.jts.geom.Coordinate(500, 500))))
+    assert(!geom.covers(gf.createPoint(new org.locationtech.jts.geom.Coordinate(100, 100))))
+  }
+
+  test("UDF surface: typed predicate and programmable transform") {
+    import UdfSurface.Point
+    val ds = Faux.ramp(spark, Faux.Box3(0, 0, 0, 10, 10, 10), 11)
+      .select(col("doc_id"), col("span_idx"), col("x"), col("y"), col("z"))
+      .as[Point]
+    val kept = UdfSurface.predicate(p => p.z >= 4 && p.z <= 6)(ds)
+    assert(kept.collect().map(_.z).sorted.toSeq === Seq(4.0, 5.0, 6.0))
+    val moved = UdfSurface.programmable(p => p.copy(x = p.x + 100))(ds)
+    assert(moved.agg(min("x")).head().getDouble(0) === 100.0)
+    val extra = UdfSurface.addDims(ds.toDF(),
+      (x, y, _) => (x + y, x * y), ("sum_xy", "prod_xy"))
+    assert(extra.columns.contains("sum_xy") && extra.columns.contains("prod_xy"))
+    assert(extra.filter(col("sum_xy") =!= col("x") + col("y")).count() === 0)
+  }
+
   test("type widening lattice matches the reference resolution rules") {
     assert(Model.widen(ShortType, IntegerType) === IntegerType)
     assert(Model.widen(LongType, FloatType) === DoubleType)
