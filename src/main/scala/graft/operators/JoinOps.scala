@@ -26,6 +26,51 @@ case class CellSetContains(child: Expression, cells: java.util.HashSet[java.lang
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Bounded k-smallest mean: keeps the k smallest values seen in a
+  * max-heap-ordered buffer (reference stats::Summary-style streaming
+  * aggregate object, SURVEY.md §2.6 -> Aggregator). Mergeable, so Spark
+  * runs it partial+final with map-side combine. */
+class KnnMeanAgg(k: Int)
+    extends org.apache.spark.sql.expressions.Aggregator[Double, Array[Double], Double] {
+  import org.apache.spark.sql.{Encoder, Encoders}
+  // buffer: the up-to-k smallest values, max at slot 0 (binary max-heap)
+  override def zero: Array[Double] = Array.empty
+  private def siftUpDown(h: Array[Double]): Unit = {
+    // restore heap after replacing the root
+    var i = 0
+    val n = h.length
+    while (true) {
+      val l = 2 * i + 1; val r = 2 * i + 2
+      var m = i
+      if (l < n && h(l) > h(m)) m = l
+      if (r < n && h(r) > h(m)) m = r
+      if (m == i) return
+      val t = h(i); h(i) = h(m); h(m) = t
+      i = m
+    }
+  }
+  override def reduce(b: Array[Double], v: Double): Array[Double] = {
+    if (b.length < k) {
+      val nb = java.util.Arrays.copyOf(b, b.length + 1)
+      nb(b.length) = v
+      // sift up the new leaf
+      var i = b.length
+      while (i > 0 && nb((i - 1) / 2) < nb(i)) {
+        val p = (i - 1) / 2; val t = nb(p); nb(p) = nb(i); nb(i) = t; i = p
+      }
+      nb
+    } else if (v < b(0)) { b(0) = v; siftUpDown(b); b }
+    else b
+  }
+  override def merge(a: Array[Double], b: Array[Double]): Array[Double] =
+    b.foldLeft(a)(reduce)
+  override def finish(b: Array[Double]): Double =
+    if (b.isEmpty) Double.NaN else b.sum / b.length
+  override def bufferEncoder: Encoder[Array[Double]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Double]]()
+  override def outputEncoder: Encoder[Double] = Encoders.scalaDouble
+}
+
 /** Spatial joins. The common machinery is the cell-cover prefilter
   * generalizing the reference's bbox + prepared-geometry pattern
   * (CropFilter.cpp:139-151; AttributeFilter.cpp:307-330 QuadIndex bbox
@@ -199,18 +244,23 @@ object JoinOps {
 
   /** `pdal delta` (DeltaKernel.cpp:114-150, 269-330): for each source
     * point the single nearest candidate point; emits per-point deltas
-    * plus min/max/mean/median summary of each delta dimension. */
+    * plus min/max/mean/median summary of each delta dimension.
+    * Nearest-1 is a min_by hash aggregate (tie-break = the lexicographic
+    * (dist, doc, span) struct ordering), NOT a window — no sort of the
+    * pair fan-out, map-side combinable. */
   def delta(src: DataFrame, candidates: DataFrame, level: Int,
             space: CellSpace = CellSpace.default,
             detail: Boolean = true): DataFrame = {
     val pairs = knnPairs(src, candidates, level, space, dims3 = false)
-    val w = Window.partitionBy(col("doc_id"), col("span_idx")).orderBy(col("__dist"),
-      col("__r.doc_id"), col("__r.span_idx"))
-    val nearest = pairs.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+    val nearest = pairs
+      .groupBy(col("doc_id"), col("span_idx"))
+      .agg(min_by(
+        struct((col("x") - col("__r.x")).as("dx"),
+          (col("y") - col("__r.y")).as("dy"),
+          (col("z") - col("__r.z")).as("dz")),
+        struct(col("__dist"), col("__r.doc_id"), col("__r.span_idx"))).as("d"))
       .select(col("doc_id"), col("span_idx"),
-        (col("x") - col("__r.x")).as("dx"),
-        (col("y") - col("__r.y")).as("dy"),
-        (col("z") - col("__r.z")).as("dz"))
+        col("d.dx").as("dx"), col("d.dy").as("dy"), col("d.dz").as("dz"))
     if (detail) nearest
     else nearest.agg(
       min("dx").as("min_dx"), max("dx").as("max_dx"), avg("dx").as("mean_dx"), median(col("dx")).as("median_dx"),
@@ -230,11 +280,14 @@ object JoinOps {
     val pts = df.cache()
     val pairs = knnPairs(pts, pts, level, space, dims3 = true)
       .filter(!(col("doc_id") === col("__r.doc_id") && col("span_idx") === col("__r.span_idx")))
-    val w = Window.partitionBy(col("doc_id"), col("span_idx")).orderBy(col("__dist"),
-      col("__r.doc_id"), col("__r.span_idx"))
-    val meanDist = pairs.withColumn("__rn", row_number().over(w)).filter(col("__rn") <= k)
+    // mean distance to the k nearest via a bounded top-k aggregate —
+    // one partial+final hash agg over the pair fan-out instead of a
+    // window sort of it. Ties at the k boundary have equal distances,
+    // so the mean is identical to the rank-based selection.
+    val knnMean = org.apache.spark.sql.functions.udaf(new KnnMeanAgg(k))
+    val meanDist = pairs
       .groupBy(col("doc_id"), col("span_idx"))
-      .agg(avg(col("__dist")).as("__md"))
+      .agg(knnMean(col("__dist")).as("__md"))
     val thresh = meanDist.agg(
       (avg("__md") + lit(multThresh) * stddev_samp(col("__md"))).as("__t"))
     pts.join(meanDist, Seq("doc_id", "span_idx"), "left")
