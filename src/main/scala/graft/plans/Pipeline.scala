@@ -169,6 +169,31 @@ object Pipeline {
           space(st))(in.get)
       case "filters.merge" =>
         in.get // n-ary merge handled by the runner (union of branch outputs)
+      case "filters.lod" =>
+        TileOps.lodPyramid(st.int("max_level").getOrElse(4), space(st),
+          st.str("ordinal").getOrElse("span_idx"))(in.get)
+      case "filters.radiusoutlier" =>
+        InfoOps.radiusOutlierRemoval(st.dbl("radius").getOrElse(1.0),
+          st.int("min_neighbors").getOrElse(2), st.int("level").getOrElse(6),
+          space(st))(in.get)
+      case "filters.adaptivecells" =>
+        SkewOps.adaptiveCells(st.int("budget").getOrElse(100000).toLong,
+          st.int("base_level").getOrElse(4), st.int("max_level").getOrElse(12),
+          space(st))(in.get)
+      case "filters.colorization" =>
+        // raster read from parquet (px, py, band columns)
+        val raster = spark.read.parquet(st.str("raster").get)
+        val gt = st.dbls("geotransform").get.toArray
+        val bands = st.strs("bands").getOrElse(Nil).map { b =>
+          val Array(rc, dim, sc) = b.split(":"); (rc, dim, sc.toDouble)
+        }
+        JoinOps.colorize(raster, gt, bands)(in.get)
+      case "writers.p2g" =>
+        val d = AggOps.p2gRaster(st.dbl("dx").getOrElse(1.0), st.dbl("dy").getOrElse(1.0),
+          st.dbl("radius").getOrElse(0.7), st.dbl("origin_x").getOrElse(0.0),
+          st.dbl("origin_y").getOrElse(0.0))(in.get)
+        d.write.mode("overwrite").parquet(st.str("path").get)
+        d
 
       // ---- writers -----------------------------------------------------
       case "writers.parquet" =>
