@@ -196,6 +196,78 @@ object Model {
           s.getField("offset").as("offset"))).as("spans"))
   }
 
+  // -------------------------------------------------------------------
+  // Columnar (dim-major) payload encoding — the second physical layout
+  // of the interleaved-payload axis. The reference's BPF format stores
+  // the same points row-major, dim-major, or byte-major in one container
+  // (io/bpf/BpfReader.cpp:248-253); our doc table mirrors that: a
+  // "points" span is row-major (one span per point), a "points_columnar"
+  // span carries a whole batch dim-major (one array per dimension,
+  // ';'-separated dims of ','-separated ints). Both decode to the same
+  // point frame.
+  // -------------------------------------------------------------------
+
+  /** Re-encode each document's point spans into ONE dim-major span
+    * (kind="points_columnar", offset = first point's offset). */
+  def toColumnar(docs: DataFrame): DataFrame = {
+    val pts = explodePoints(docs)
+    val colSpans = pts
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(struct(col("span_idx"),
+        (col("x") / Scale).cast(LongType).as("xi"),
+        (col("y") / Scale).cast(LongType).as("yi"),
+        (col("z") / Scale).cast(LongType).as("zi"),
+        col("intensity"), col("gps_time").cast(LongType).as("pid")))).as("ps"))
+      .select(col("doc_id"), lit("points_columnar").as("kind"),
+        concat_ws(";",
+          concat_ws(",", transform(col("ps"), p => p.getField("xi").cast(StringType))),
+          concat_ws(",", transform(col("ps"), p => p.getField("yi").cast(StringType))),
+          concat_ws(",", transform(col("ps"), p => p.getField("zi").cast(StringType))),
+          concat_ws(",", transform(col("ps"), p => p.getField("intensity").cast(StringType))),
+          concat_ws(",", transform(col("ps"), p => p.getField("pid").cast(StringType))),
+          concat_ws(",", transform(col("ps"), p => p.getField("span_idx").cast(StringType)))
+        ).as("text"),
+        lit("").as("media_ref"),
+        element_at(col("ps"), 1).getField("span_idx").as("offset"))
+    val nonPoint = docs
+      .select(col("doc_id"), explode(col("spans")).as("s"))
+      .filter(col("s.kind") =!= "point")
+      .select(col("doc_id"), col("s.kind").as("kind"), col("s.text").as("text"),
+        col("s.media_ref").as("media_ref"), col("s.offset").as("offset"))
+    nonPoint.unionByName(colSpans)
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(struct(
+        col("offset"), col("kind"), col("text"), col("media_ref")))).as("ordered"))
+      .select(col("doc_id"),
+        transform(col("ordered"), s => struct(
+          s.getField("kind").as("kind"), s.getField("text").as("text"),
+          s.getField("media_ref").as("media_ref"), s.getField("offset").as("offset")))
+          .as("spans"))
+  }
+
+  /** Decode dim-major point spans to the SAME flat point frame as
+    * [[explodePoints]] — layout-transparent consumers. */
+  def explodePointsColumnar(docs: DataFrame): DataFrame = {
+    val sp = docs
+      .select(col("doc_id"), explode(col("spans")).as("s"))
+      .filter(col("s.kind") === "points_columnar")
+    val dims = split(col("s.text"), ";")
+    val sized = sp.select(col("doc_id"),
+      split(dims.getItem(0), ",").as("xs"), split(dims.getItem(1), ",").as("ys"),
+      split(dims.getItem(2), ",").as("zs"), split(dims.getItem(3), ",").as("is"),
+      split(dims.getItem(4), ",").as("ps"), split(dims.getItem(5), ",").as("ss"))
+    sized
+      .select(col("doc_id"), posexplode(col("xs")).as(Seq("i", "xi")),
+        col("ys"), col("zs"), col("is"), col("ps"), col("ss"))
+      .select(col("doc_id"),
+        element_at(col("ss"), col("i") + 1).cast(IntegerType).as("span_idx"),
+        (col("xi").cast(LongType) * Scale).as("x"),
+        (element_at(col("ys"), col("i") + 1).cast(LongType) * Scale).as("y"),
+        (element_at(col("zs"), col("i") + 1).cast(LongType) * Scale).as("z"),
+        element_at(col("is"), col("i") + 1).cast(IntegerType).as("intensity"),
+        element_at(col("ps"), col("i") + 1).cast(DoubleType).as("gps_time"))
+  }
+
   /** Canonical string rendering of a document's span sequence — the
     * comparator used by the span-sequence-equality gate (robust to
     * struct-hashing differences between engines). */

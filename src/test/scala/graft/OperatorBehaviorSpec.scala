@@ -196,6 +196,36 @@ class OperatorBehaviorSpec extends AnyFunSuite {
     assert(extra.filter(col("sum_xy") =!= col("x") + col("y")).count() === 0)
   }
 
+  test("columnar (dim-major) payload encoding decodes to the same point frame") {
+    val docs = graft.sources.DocSynth.cachedDocs(spark, "/root/testdata/sf0.001")
+    val rowMajor = Model.explodePoints(docs)
+    val columnar = Model.toColumnar(docs)
+    val decoded = Model.explodePointsColumnar(columnar)
+    assert(decoded.exceptAll(rowMajor).isEmpty && rowMajor.exceptAll(decoded).isEmpty)
+    // non-point spans survive the re-layout untouched
+    val nonPoint = (d: org.apache.spark.sql.DataFrame) => Model.spanSignature(d)
+      .select(col("doc_id"), concat_ws("|",
+        filter(split(col("sig"), "\\|"),
+          s => !s.startsWith("point"))).as("np"))
+    assert(nonPoint(columnar).exceptAll(nonPoint(docs)).isEmpty)
+  }
+
+  test("SQL extension functions register and evaluate from SQL text") {
+    graft.functions.GraftExtensions.registerTemp(spark)
+    val r = spark.sql(
+      """SELECT morton_key(1.5D, 2.5D) AS mk,
+        |       cell_id(1.5D, 2.5D, 10) AS cid,
+        |       st_contains_xy('POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))', 5.0D, 5.0D) AS inside,
+        |       st_contains_xy('POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))', 50.0D, 5.0D) AS outside,
+        |       simhash64(array('a', 'b')) AS sh""".stripMargin).head()
+    val sp = graft.index.CellSpace.default
+    assert(r.getAs[Long]("mk") ===
+      graft.index.Morton.interleave(sp.ixAt(1.5), sp.iyAt(2.5)))
+    assert(r.getAs[Long]("cid") === sp.cellAt(1.5, 2.5, 10))
+    assert(r.getAs[Boolean]("inside") && !r.getAs[Boolean]("outside"))
+    assert(r.getAs[Long]("sh") === graft.operators.SimHash64.of(Seq("a", "b")))
+  }
+
   test("type widening lattice matches the reference resolution rules") {
     assert(Model.widen(ShortType, IntegerType) === IntegerType)
     assert(Model.widen(LongType, FloatType) === DoubleType)
