@@ -94,6 +94,56 @@ case class STContainsDyn(first: Expression, second: Expression, third: Expressio
     copy(first = f, second = s, third = t)
 }
 
+/** Single-pass parser for the point-span payload ("xi,yi,zi,intensity,
+  * pid" as ASCII ints) — replaces split() + five string->long casts
+  * (an array allocation plus per-field UTF8String casts per point) with
+  * one scan over the bytes. Returns struct<xi,yi,zi,intensity,pid:long>.
+  * The hot inner loop of every doc-table scan. */
+case class ParsePointPayload(child: Expression) extends UnaryExpression with Serializable {
+  import org.apache.spark.sql.catalyst.InternalRow
+  override def dataType: DataType = ParsePointPayload.schema
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "parse_point_payload"
+  override protected def nullSafeEval(v: Any): Any =
+    ParsePointPayload.parse(v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.ParsePointPayload.parse($c);")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+object ParsePointPayload {
+  import org.apache.spark.sql.catalyst.InternalRow
+  import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+  import org.apache.spark.unsafe.types.UTF8String
+
+  val schema: StructType = StructType(Seq(
+    StructField("xi", LongType, nullable = false),
+    StructField("yi", LongType, nullable = false),
+    StructField("zi", LongType, nullable = false),
+    StructField("intensity", LongType, nullable = false),
+    StructField("pid", LongType, nullable = false)))
+
+  def parse(s: UTF8String): InternalRow = {
+    val bytes = s.getBytes
+    val out = new Array[Any](5)
+    var field = 0
+    var acc = 0L
+    var neg = false
+    var i = 0
+    while (i < bytes.length && field < 5) {
+      val b = bytes(i)
+      if (b == ',') { out(field) = if (neg) -acc else acc; field += 1; acc = 0L; neg = false }
+      else if (b == '-') neg = true
+      else acc = acc * 10 + (b - '0')
+      i += 1
+    }
+    if (field < 5) { out(field) = if (neg) -acc else acc; field += 1 }
+    while (field < 5) { out(field) = 0L; field += 1 }
+    new GenericInternalRow(out)
+  }
+}
+
 object SpatialFunctions {
   private def expr(c: Column): Expression = ExpressionUtils.expression(c)
   private def col(e: Expression): Column = ExpressionUtils.column(e)

@@ -136,19 +136,22 @@ object Model {
     * Non-point spans are dropped here; use [[implode]] to reassemble
     * documents with non-point spans preserved. */
   def explodePoints(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
     val sp = docs
       .select(col("doc_id"), explode(col("spans")).as("s"))
       .filter(col("s.kind") === "point")
-    val parts = split(col("s.text"), ",")
-    sp.select(
-      col("doc_id"),
-      col("s.offset").as("span_idx"),
-      (parts.getItem(0).cast(LongType) * lit(Scale)).as("x"),
-      (parts.getItem(1).cast(LongType) * lit(Scale)).as("y"),
-      (parts.getItem(2).cast(LongType) * lit(Scale)).as("z"),
-      parts.getItem(3).cast(IntegerType).as("intensity"),
-      parts.getItem(4).cast(DoubleType).as("gps_time")
-    )
+    // single-pass payload parse (see ParsePointPayload) instead of
+    // split() + per-field casts — the scan-side hot loop
+    val p = ColumnBridge.column(graft.functions.ParsePointPayload(
+      ColumnBridge.expression(col("s.text"))))
+    sp.select(col("doc_id"), col("s.offset").as("span_idx"), p.as("p"))
+      .select(
+        col("doc_id"), col("span_idx"),
+        (col("p.xi") * lit(Scale)).as("x"),
+        (col("p.yi") * lit(Scale)).as("y"),
+        (col("p.zi") * lit(Scale)).as("z"),
+        col("p.intensity").cast(IntegerType).as("intensity"),
+        col("p.pid").cast(DoubleType).as("gps_time"))
   }
 
   /** Re-encode a (possibly filtered / transformed) point frame back into a
