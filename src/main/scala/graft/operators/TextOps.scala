@@ -240,6 +240,36 @@ object TextOps {
       .groupBy(col("doc_id")).agg(min(col("band_rep")).as("rep_doc_id"))
   }
 
+  /** Full connected-components closure of the LSH band graph: iterate
+    * min-rep propagation (doc -> min rep over its bands; band -> min rep
+    * over its docs) to fixpoint, so transitive chains A~B~C collapse to
+    * one representative even when A and C share no band. Converges in
+    * O(log(longest chain)) rounds; each round is two small shuffles over
+    * the (doc, band) edge list — the standard large-scale
+    * label-propagation shape. */
+  def minhashDedupCC(numPerms: Int = 16, shingleN: Int = 3, bands: Int = 4,
+                     maxIters: Int = 20)(df: DataFrame): DataFrame = {
+    val edges = df.select(col("doc_id"),
+      explode(lshBandKeys(numPerms, shingleN, bands)).as("band")).cache()
+    var labels = edges.groupBy("doc_id")
+      .agg(min(col("doc_id")).as("rep")) // initial: self
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIters) {
+      val bandRep = edges.join(labels, "doc_id")
+        .groupBy("band").agg(min("rep").as("band_rep"))
+      val newLabels = edges.join(bandRep, "band")
+        .groupBy("doc_id").agg(min("band_rep").as("rep"))
+        .localCheckpoint(eager = true) // truncate the iterative lineage
+      val changed = newLabels.as("n").join(labels.as("o"), "doc_id")
+        .filter(col("n.rep") =!= col("o.rep")).limit(1).count()
+      labels = newLabels
+      converged = changed == 0
+      iter += 1
+    }
+    labels.withColumnRenamed("rep", "rep_doc_id")
+  }
+
   /** n-gram Jaccard similarity of candidate pairs: |A∩B| / |A∪B| on
     * DISTINCT shingle sets. `pairs` must have (a_id, b_id). */
   def ngramJaccard(docs: DataFrame, pairs: DataFrame, shingleN: Int): DataFrame = {

@@ -99,6 +99,19 @@ class OperatorBehaviorSpec extends AnyFunSuite {
     assert(reps(3L) === 3L, "distinct doc wrongly grouped")
   }
 
+  test("connected-components dedup closes transitive near-dup chains") {
+    val a = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu nu xi"
+    val b = a.replace("kappa", "kappax") // near A
+    val c = b.replace("alpha", "alphax") // near B, further from A
+    val d = "entirely different text talking about streaming watermarks and state stores"
+    val docs = Seq((1L, a), (2L, b), (3L, c), (4L, d)).toDF("doc_id", "text")
+    val reps = TextOps.minhashDedupCC(numPerms = 16, shingleN = 2, bands = 8)(docs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(reps(1L) === 1L && reps(2L) === 1L && reps(3L) === 1L,
+      s"chain not closed: $reps")
+    assert(reps(4L) === 4L)
+  }
+
   test("SimHash hamming distance small for near-dups, large for distinct") {
     val a = SimHash64.of("the quick brown fox jumps over the lazy dog every single day".split(" ").toSeq)
     val b = SimHash64.of("the quick brown fox jumps over the lazy cat every single day".split(" ").toSeq)
