@@ -38,6 +38,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   }
 
   def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectOptimizerRule(_ => graft.plans.PipPrefilterRule)
     ext.injectFunction((FunctionIdentifier("morton_key"), info("morton_key"),
       (args: Seq[Expression]) => MortonKey(args(0), args(1), CellSpace.default)))
     ext.injectFunction((FunctionIdentifier("cell_id"), info("cell_id"),

@@ -60,7 +60,8 @@ case class CellId(left: Expression, right: Expression, space: CellSpace, level: 
   * reference's prepared-GEOS-contains per point (CropFilter.cpp:242-270)
   * with preparation hoisted out of the row loop (CropFilter.cpp:137-142).
   * The WKB literal rides the plan; each executor prepares once. */
-case class STContainsXY(left: Expression, right: Expression, wkb: Array[Byte])
+case class STContainsXY(left: Expression, right: Expression, wkb: Array[Byte],
+                        prefiltered: Boolean = false)
     extends BinaryExpression with Serializable {
   override def dataType: DataType = BooleanType
   override def nullIntolerant: Boolean = true

@@ -92,6 +92,25 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(plan.contains("GreaterThanOrEqual(maxx,"), s"doc bbox not pushed:\n$plan")
   }
 
+  test("optimizer rule injects the PIP prefilter into raw SQL predicates") {
+    graft.functions.GraftExtensions.registerTemp(spark)
+    if (!spark.experimental.extraOptimizations.contains(graft.plans.PipPrefilterRule))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ graft.plans.PipPrefilterRule
+    val hexWkt = "POLYGON ((800.3 500.7, 650.3 760.7, 350.3 760.7, 200.3 500.7, 350.3 240.7, 650.3 240.7, 800.3 500.7))"
+    stored.createOrReplaceTempView("pts_sql")
+    val df = spark.sql(
+      s"SELECT doc_id, span_idx FROM pts_sql WHERE st_contains_xy('$hexWkt', x, y)")
+    val plan = df.queryExecution.executedPlan.toString
+    // the injected bbox reached the parquet scan even though the user
+    // only wrote the exact predicate
+    assert(plan.contains("GreaterThanOrEqual(x,200.3)"),
+      s"prefilter not injected / pushed:\n$plan")
+    // results equal the operator path
+    val viaOp = JoinOps.cropPolygon(hexWkt)(stored).select("doc_id", "span_idx")
+    assert(df.exceptAll(viaOp).isEmpty && viaOp.exceptAll(df).isEmpty)
+  }
+
   test("morton key and cell id are codegen'd projections") {
     val df = stored.select(
       graft.functions.SpatialFunctions.mortonKey(col("x"), col("y")).as("mk"),
