@@ -155,6 +155,9 @@ object SpatialFunctions {
   def cellId(x: Column, y: Column, level: Int, space: CellSpace = CellSpace.default): Column =
     col(CellId(expr(x), expr(y), space, level))
 
+  /** Operator-internal exact test: marked prefiltered — the operators
+    * build their own bbox/cover machinery, so the optimizer rule must
+    * not wrap another one around it. */
   def stContainsXY(wkb: Array[Byte], x: Column, y: Column): Column =
-    col(STContainsXY(expr(x), expr(y), wkb))
+    col(STContainsXY(expr(x), expr(y), wkb, prefiltered = true))
 }

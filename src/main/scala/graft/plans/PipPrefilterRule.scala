@@ -30,8 +30,6 @@ import graft.index.{CellSpace, PolygonCover}
   */
 object PipPrefilterRule extends Rule[LogicalPlan] {
 
-  /** The cell space the SQL surface operates in. */
-  val space: CellSpace = CellSpace.default
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
     case f @ Filter(cond, child) if cond.exists(isRewritable) =>
@@ -49,6 +47,13 @@ object PipPrefilterRule extends Rule[LogicalPlan] {
   private def expand(x: Expression, y: Expression, wkb: Array[Byte]): Expression = {
     val geom = new WKBReader().read(wkb)
     val env = geom.getEnvelopeInternal
+    // a self-consistent cell space derived from the polygon itself (pad
+    // 10%): the cover and the injected CellId expressions share it, so
+    // the rewrite is correct for ANY data coordinate range
+    val padX = math.max(env.getWidth * 0.1, 1e-9)
+    val padY = math.max(env.getHeight * 0.1, 1e-9)
+    val space = CellSpace(env.getMinX - padX, env.getMinY - padY,
+      env.getMaxX + padX, env.getMaxY + padY)
     val level = PolygonCover.autoLevel(geom, space)
     val cover = PolygonCover.cover(geom, space, level)
 
