@@ -32,7 +32,8 @@ object InfoOps {
   def radiusOutlierRemoval(radius: Double, minNeighbors: Int, level: Int,
                            space: CellSpace = CellSpace.default)(df: DataFrame): DataFrame = {
     val pts = df
-    val pairs = JoinOps.knnPairs(pts, pts, level, space, dims3 = true)
+    val slim = pts.select("doc_id", "span_idx", "x", "y", "z")
+    val pairs = JoinOps.knnPairs(slim, slim, level, space, dims3 = true)
       .filter(!(col("doc_id") === col("__r.doc_id") && col("span_idx") === col("__r.span_idx")))
       .filter(col("__dist") <= radius)
     val counts = pairs.groupBy(col("doc_id"), col("span_idx"))

@@ -251,7 +251,10 @@ object JoinOps {
   def delta(src: DataFrame, candidates: DataFrame, level: Int,
             space: CellSpace = CellSpace.default,
             detail: Boolean = true): DataFrame = {
-    val pairs = knnPairs(src, candidates, level, space, dims3 = false)
+    // slim both sides to id + coords before the 9x replication join
+    val slim = Seq("doc_id", "span_idx", "x", "y", "z").map(col)
+    val pairs = knnPairs(src.select(slim: _*), candidates.select(slim: _*),
+      level, space, dims3 = false)
     val nearest = pairs
       .groupBy(col("doc_id"), col("span_idx"))
       .agg(min_by(
@@ -278,7 +281,8 @@ object JoinOps {
   def statisticalOutlierRemoval(k: Int, multThresh: Double, level: Int,
                                 space: CellSpace = CellSpace.default)(df: DataFrame): DataFrame = {
     val pts = df.cache()
-    val pairs = knnPairs(pts, pts, level, space, dims3 = true)
+    val slim = pts.select("doc_id", "span_idx", "x", "y", "z")
+    val pairs = knnPairs(slim, slim, level, space, dims3 = true)
       .filter(!(col("doc_id") === col("__r.doc_id") && col("span_idx") === col("__r.span_idx")))
     // mean distance to the k nearest via a bounded top-k aggregate —
     // one partial+final hash agg over the pair fan-out instead of a
