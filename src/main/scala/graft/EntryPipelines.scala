@@ -174,6 +174,21 @@ object EntryPipelines {
   // Oracle SQL twins
   // ---------------------------------------------------------------------
 
+  /** Morton key SQL (shared with SparkEntry.mortonSql — default space,
+    * exact 2^20 scale). */
+  def mortonSqlShared(xc: String, yc: String): String = {
+    def spread(v: String): String = {
+      val s1 = s"((($v) | (($v) << 16)) & 281470681808895)"
+      val s2 = s"((($s1) | (($s1) << 8)) & 71777214294589695)"
+      val s3 = s"((($s2) | (($s2) << 4)) & 1085102592571150095)"
+      val s4 = s"((($s3) | (($s3) << 2)) & 3689348814741910323)"
+      s"((($s4) | (($s4) << 1)) & 6148914691236517205)"
+    }
+    val ix = s"CAST(($xc) * 1048576 AS BIGINT)"
+    val iy = s"CAST(($yc) * 1048576 AS BIGINT)"
+    s"(${spread(ix)} | (${spread(iy)} << 1))"
+  }
+
   /** Level-`l` cell coords of (x, y) in the default space (scale 2^20). */
   private def cellSql(c: String, l: Int): String =
     s"(CAST(($c) * 1048576 AS BIGINT) >> ${30 - l})"
@@ -351,6 +366,16 @@ object EntryPipelines {
            |             greatest(len(sha) + len(shb) - len(list_intersect(sha, shb)), 1), 6) AS jaccard6
            |FROM pairs""".stripMargin,
 
+      "q_adaptive_cells" ->
+        s"""WITH $P, $adaptiveSql
+           |SELECT cell, CAST(count(*) AS BIGINT) AS n
+           |FROM assigned GROUP BY cell""".stripMargin,
+
+      "q_pmf_ground" ->
+        s"""WITH $P, $pmfSql
+           |SELECT classification, CAST(count(*) AS BIGINT) AS n
+           |FROM classified GROUP BY classification""".stripMargin,
+
       "q_ann_cosine" ->
         s"""WITH q AS (SELECT $queryVecSql AS qv),
            |scored AS (
@@ -428,6 +453,81 @@ object EntryPipelines {
           |       md5(substring(hex(blob), frame_idx * 32 + 1, 32)) AS frame_hash
           |FROM f WHERE frame_idx % 3 = 0""".stripMargin
     )
+  }
+
+  /** Adaptive-cells oracle: mirrors SkewOps.adaptiveCells(budget=2000,
+    * base=2, max=8) — per-level subtree counts, split set = over-budget
+    * cells below max level, final cell = descend while split. The level
+    * range is fixed at authoring time so the recursion unrolls into 6
+    * CASE steps. */
+  private def adaptiveSql: String = {
+    val base = 2; val max = 8; val budget = 2000
+    def cellAt(l: Int) =
+      s"((${mortonSqlShared("x", "y")} >> ${2 * (30 - l)}) << 6) | $l"
+    val cellCols = (base to max).map(l => s"(${cellAt(l)}) AS c$l").mkString(",\n      |         ")
+    val countCtes = (base until max).map(l =>
+      s"cnt$l AS (SELECT c$l AS cell, count(*) AS n FROM cells GROUP BY 1)")
+      .mkString(",\n      |")
+    val splitsUnion = (base until max).map(l =>
+      s"SELECT cell FROM cnt$l WHERE n > $budget").mkString(" UNION ALL ")
+    // descent: innermost level first
+    var descend = s"c$max"
+    ((max - 1) to base by -1).foreach { l =>
+      descend = s"CASE WHEN c$l IN (SELECT cell FROM splits) THEN ($descend) ELSE c$l END"
+    }
+    s"""cells AS (
+       |  SELECT $cellCols
+       |  FROM pts),
+       |$countCtes,
+       |splits AS ($splitsUnion),
+       |assigned AS (SELECT ($descend) AS cell FROM cells)""".stripMargin
+  }
+
+  /** PMF ground-classification oracle: mirrors GroundOps.pmf with
+    * cellSize=16, maxWindowSize=9, slope=1, initialDistance=2,
+    * maxDistance=20 (window ladder {3,5,9} -> hw {1,2,4}, dh {2,20,20}).
+    * Each iteration: erosion at the hw-expanded positions, dilation
+    * clipped back to occupied cells, conditional surface replacement.
+    * All values are exact 0.5-multiples, so the compare is bit-exact. */
+  private def pmfSql: String = {
+    val iters = Seq((1, "2.0"), (2, "20.0"), (4, "20.0"))
+    val sb = new StringBuilder
+    sb.append(
+      """occ AS (
+        |  SELECT CAST(floor(x / 16) AS BIGINT) AS cx,
+        |         CAST(floor(y / 16) AS BIGINT) AS cy, min(z) AS v
+        |  FROM pts GROUP BY 1, 2),
+        |s0 AS (SELECT cx, cy, v FROM occ)""".stripMargin)
+    iters.zipWithIndex.foreach { case ((hw, dh), i) =>
+      val prev = s"s$i"; val n = i + 1
+      sb.append(s""",
+        |pos$n AS (
+        |  SELECT DISTINCT a.cx + dx.o AS cx, a.cy + dy.o AS cy
+        |  FROM $prev a
+        |  CROSS JOIN (SELECT unnest(generate_series(-$hw, $hw)) AS o) dx
+        |  CROSS JOIN (SELECT unnest(generate_series(-$hw, $hw)) AS o) dy),
+        |e$n AS (
+        |  SELECT p.cx, p.cy, min(s.v) AS ev
+        |  FROM pos$n p JOIN $prev s
+        |    ON abs(p.cx - s.cx) <= $hw AND abs(p.cy - s.cy) <= $hw
+        |  GROUP BY p.cx, p.cy),
+        |d$n AS (
+        |  SELECT a.cx, a.cy, max(e.ev) AS dv
+        |  FROM occ a JOIN e$n e
+        |    ON abs(a.cx - e.cx) <= $hw AND abs(a.cy - e.cy) <= $hw
+        |  GROUP BY a.cx, a.cy),
+        |s$n AS (
+        |  SELECT s.cx, s.cy,
+        |         CASE WHEN s.v - d.dv > $dh THEN d.dv ELSE s.v END AS v
+        |  FROM $prev s JOIN d$n d ON s.cx = d.cx AND s.cy = d.cy)""".stripMargin)
+    }
+    sb.append(s""",
+      |classified AS (
+      |  SELECT CASE WHEN p.z - s.v <= 20.0 THEN 2 ELSE 0 END AS classification
+      |  FROM pts p JOIN s${iters.size} s
+      |    ON CAST(floor(p.x / 16) AS BIGINT) = s.cx
+      |   AND CAST(floor(p.y / 16) AS BIGINT) = s.cy)""".stripMargin)
+    sb.toString
   }
 
   /** MinHash-LSH dedup oracle: same md5-anchored signature, band keys,
