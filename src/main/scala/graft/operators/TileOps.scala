@@ -68,7 +68,10 @@ object TileOps {
     // Active nodes tracked on the driver (final count = m).
     final case class Node(pl: Int, pr: Int) { def leaf: Boolean = pr - pl == 1 }
     var nodes = Map(0L -> Node(0, m))
-    var cur = df.withColumn("__node", lit(0L))
+    // recursion carries only (id, coords, node) — the narrow working set
+    // is what gets checkpointed log2(m) times, not the full row
+    var cur = df.select(col("doc_id"), col("span_idx"), col("x"), col("y"))
+      .withColumn("__node", lit(0L))
 
     while (nodes.values.exists(!_.leaf)) {
       val activeIds = nodes.filter(!_._2.leaf).keySet
@@ -115,10 +118,13 @@ object TileOps {
       }
       cur = cur.localCheckpoint(eager = false)
     }
-    // chip ordinal = leaf's pl (partition index) — contiguous 0..m-1
+    // chip ordinal = leaf's pl (partition index) — contiguous 0..m-1;
+    // join the assignment back onto the full-width rows
     val chipByNode = map(nodes.toSeq.flatMap { case (id, nd) =>
       Seq(lit(id), lit(nd.pl)) }: _*)
-    cur.withColumn("chip", chipByNode(col("__node"))).drop("__node")
+    val assignment = cur.select(col("doc_id"), col("span_idx"),
+      chipByNode(col("__node")).as("chip"))
+    df.join(assignment, Seq("doc_id", "span_idx"))
   }
 
   /** writers.rialto's LOD pyramid (RialtoCommon.cpp:79-94): level L of a

@@ -16,6 +16,7 @@ object TestSpark {
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "5000000")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
@@ -95,6 +96,27 @@ class GoldenFixturesSpec extends AnyFunSuite {
     val first = p1065.orderBy("span_idx").limit(1).head()
     val x = first.getAs[Double]("x")
     assert(math.abs(x - 637012.240) < 1e-6, s"first x was $x")
+  }
+
+  // LAS header goldens (LasReaderTest.cpp:134-162) + per-return counts
+  test("P1065 header fields and return counts match the reference goldens") {
+    val (h, _) = LasDecode.readPoints(P1065)
+    assert(h.versionMajor === 1 && h.versionMinor === 2)
+    assert(h.pointFormat === 3 && h.pointCount === 1065L)
+    assert(h.sx === 0.01 && h.sy === 0.01 && h.sz === 0.01)
+    assert(h.ox === 0.0 && h.oy === 0.0 && h.oz === 0.0)
+    // EXPECT_DOUBLE_EQ tolerance (the header doubles come from
+    // quantized-int * 0.01, a few ulps off the decimal literals)
+    def near(a: Double, b: Double) = math.abs(a - b) < 1e-6
+    assert(near(h.maxx, 638982.55) && near(h.maxy, 853535.43) && near(h.maxz, 586.38))
+    assert(near(h.minx, 635619.85) && near(h.miny, 848899.70) && near(h.minz, 406.59))
+    // SummaryData-style counts by return number (writer header semantics)
+    val byRet = p1065.groupBy("return_number").count().collect()
+      .map(r => r.getShort(0).toInt -> r.getLong(1)).toMap
+    assert(byRet.getOrElse(1, 0L) === 925L)
+    assert(byRet.getOrElse(2, 0L) === 114L)
+    assert(byRet.getOrElse(3, 0L) === 21L)
+    assert(byRet.getOrElse(4, 0L) === 5L)
   }
 
   // F7: merge two copies -> 2130 (MergeTest.cpp:55)
