@@ -45,6 +45,19 @@ object Quantize {
         .drop(s"${dim}_i")
     }
 
+  /** writers.text GeoJSON mode (TextWriter.cpp:102-160): one Feature per
+    * point with Point geometry and the remaining dims as properties.
+    * A projection producing one JSON string column — written with
+    * spark.write.text, no driver-side serialization. */
+  def toGeoJson(dims: Seq[String])(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val props = struct(dims.map(col): _*)
+    df.select(concat(
+      lit("""{"type":"Feature","geometry":{"type":"Point","coordinates":["""),
+      col("x").cast(StringType), lit(","), col("y").cast(StringType), lit(","),
+      col("z").cast(StringType),
+      lit("""]},"properties":"""), to_json(props), lit("}")).as("feature"))
+  }
+
   /** LAS-writer header summary (SummaryData: bounds + counts by return
     * number, io/las/LasWriter.cpp header finalize). */
   def headerSummary(df: DataFrame): DataFrame = {

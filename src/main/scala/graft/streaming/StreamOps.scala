@@ -83,6 +83,26 @@ object StreamOps {
         })
   }
 
+  final case class Doc(doc_id: String, fp: String)
+
+  /** Streaming exact dedup: incremental fingerprint registry via
+    * mapGroupsWithState — a document's first appearance claims the
+    * fingerprint; replays and duplicates in later micro-batches emit
+    * the original owner. The streaming twin of TextOps.dedupExact
+    * (state = one row per distinct fingerprint). */
+  def streamingDedup(docs: Dataset[Doc]): Dataset[(String, String, Boolean)] = {
+    import docs.sparkSession.implicits._
+    docs.groupByKey(_.fp)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout)(
+        (fp: String, ds: Iterator[Doc], state: GroupState[String]) => {
+          val first = state.getOption
+          val ids = ds.map(_.doc_id).toSeq.sorted
+          val owner = first.getOrElse(ids.head)
+          if (first.isEmpty) state.update(owner)
+          (fp, owner, first.isEmpty)
+        })
+  }
+
   /** Streaming document ingest: drain a doc-table stream, explode point
     * spans, assign tiles, and append tile-partitioned parquet per
     * micro-batch via foreachBatch (each batch also lands a lineage

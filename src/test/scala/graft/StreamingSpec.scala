@@ -36,6 +36,27 @@ class StreamingSpec extends AnyFunSuite {
     assert(joined.count() === 0, "session counts disagree with batch counts")
   }
 
+  test("GeoJSON writer emits valid features") {
+    val pts = graft.sources.Faux.ramp(spark, graft.sources.Faux.Box3(0, 0, 0, 10, 10, 10), 5)
+    val rows = graft.operators.Quantize.toGeoJson(Seq("doc_id", "span_idx"))(pts)
+      .collect().map(_.getString(0))
+    assert(rows.length === 5)
+    rows.foreach { j =>
+      assert(j.startsWith("""{"type":"Feature","geometry":{"type":"Point","""))
+      assert(j.contains(""""properties":{"doc_id":"""))
+    }
+  }
+
+  test("streaming dedup claims fingerprints incrementally") {
+    val docs = spark.createDataset(Seq(
+      StreamOps.Doc("d1", "fpA"), StreamOps.Doc("d2", "fpA"),
+      StreamOps.Doc("d3", "fpB")))
+    val out = StreamOps.streamingDedup(docs).collect()
+      .map { case (fp, owner, fresh) => fp -> (owner, fresh) }.toMap
+    assert(out("fpA")._1 === "d1" && out("fpB")._1 === "d3")
+    assert(out.values.forall(_._2), "all first appearances should be fresh")
+  }
+
   test("streaming doc ingest writes tiles and per-batch lineage manifests") {
     val tmp = java.nio.file.Files.createTempDirectory("graftstream").toString
     val docs = DocSynth.cachedDocs(spark, "/root/testdata/sf0.001")
