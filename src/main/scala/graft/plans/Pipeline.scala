@@ -197,8 +197,16 @@ object Pipeline {
 
       // ---- writers -----------------------------------------------------
       case "writers.parquet" =>
-        val d = in.get
+        val d0 = in.get
         val byTile = st.strs("partition_by").getOrElse(Nil)
+        // optional deterministic salting: hot tiles write from `salts`
+        // tasks instead of one (the db-block writers' chip-then-write
+        // discipline, skew-proofed)
+        val d = st.int("salts") match {
+          case Some(s) if s > 1 && byTile.nonEmpty =>
+            SkewOps.saltedRepartition(byTile.map(col), s)(d0).drop("__salt")
+          case _ => d0
+        }
         val w = d.write.mode("overwrite")
         (if (byTile.nonEmpty) w.partitionBy(byTile: _*) else w).parquet(st.str("path").get)
         d
