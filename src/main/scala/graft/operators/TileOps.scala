@@ -127,6 +127,62 @@ object TileOps {
     df.join(assignment, Seq("doc_id", "span_idx"))
   }
 
+  /** Approximate chipper — the scale path promised in SCALE.md: same
+    * contract (chips ≈ capacity, spatially contiguous, squarish splits
+    * along the wider axis) but split positions come from per-node
+    * approximate quantiles computed for ALL nodes in ONE aggregate per
+    * round, and assignment is a map-only comparison against broadcast
+    * cut values — no rank window, no per-node sort. Chip sizes are
+    * within the quantile sketch's error of the exact sizes; use
+    * [[chipper]] when exact reference parity matters. */
+  def chipperApprox(capacity: Long, quantiles: Int = 200)(df0: DataFrame): DataFrame = {
+    val df = df0.cache()
+    val total = df.count()
+    if (total == 0) return df.withColumn("chip", lit(0L))
+    val grid = (0 to quantiles).map(_.toDouble / quantiles).toArray
+    val gridExpr = s"array(${grid.mkString(",")})"
+
+    var cur = df.select(col("doc_id"), col("span_idx"), col("x"), col("y"))
+      .withColumn("__node", lit(0L))
+    var active = true
+    var round = 0
+    val maxRounds = 64 - java.lang.Long.numberOfLeadingZeros(
+      math.max(1, total / capacity)) + 3
+    while (active && round < maxRounds) {
+      val stats = cur.groupBy(col("__node")).agg(
+        count(lit(1)).as("n"),
+        min("x").as("mnx"), max("x").as("mxx"),
+        min("y").as("mny"), max("y").as("mxy"),
+        expr(s"approx_percentile(x, $gridExpr, 10000)").as("qx"),
+        expr(s"approx_percentile(y, $gridExpr, 10000)").as("qy"))
+        .collect()
+      val splits = stats.filter(_.getAs[Long]("n") > capacity).map { r =>
+        val id = r.getAs[Long]("__node")
+        val onX = (r.getAs[Double]("mxx") - r.getAs[Double]("mnx")) >
+          (r.getAs[Double]("mxy") - r.getAs[Double]("mny"))
+        val q = r.getSeq[Double](if (onX) 6 else 7) // qx / qy ordinals
+        val cut = q((quantiles / 2).min(q.length - 1))
+        (id, onX, cut)
+      }
+      if (splits.isEmpty) active = false
+      else {
+        val axisByNode = map(splits.toSeq.flatMap { case (id, ax, _) =>
+          Seq(lit(id), lit(ax)) }: _*)
+        val cutByNode = map(splits.toSeq.flatMap { case (id, _, c) =>
+          Seq(lit(id), lit(c)) }: _*)
+        val axisVal = when(axisByNode(col("__node")), col("x")).otherwise(col("y"))
+        cur = cur.withColumn("__node",
+          when(cutByNode(col("__node")).isNull, col("__node"))
+            .when(axisVal < cutByNode(col("__node")), col("__node") * 2 + 1)
+            .otherwise(col("__node") * 2 + 2))
+          .localCheckpoint(eager = false)
+      }
+      round += 1
+    }
+    df.join(cur.select(col("doc_id"), col("span_idx"), col("__node").as("chip")),
+      Seq("doc_id", "span_idx"))
+  }
+
   /** writers.rialto's LOD pyramid (RialtoCommon.cpp:79-94): level L of a
     * `maxLevel`-deep pyramid keeps every 4^(maxLevel-L)-th point (by
     * positional ordinal) and tags it with its level-L cell. One pass,
