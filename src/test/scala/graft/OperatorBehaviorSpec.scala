@@ -134,6 +134,26 @@ class OperatorBehaviorSpec extends AnyFunSuite {
     assert(recall >= 0.5, s"LSH recall $recall too low")
   }
 
+  test("embedding-cosine near-dup pairs found within LSH buckets") {
+    val dims = 16
+    // pairs of near-identical vectors + unrelated ones
+    val base = spark.range(0, 500).select(col("id").as("vec_id"),
+      transform(sequence(lit(1), lit(dims)),
+        d => sin(col("id") * d).cast(FloatType)).as("embedding"))
+    val wiggled = spark.range(0, 500).select((col("id") + 1000).as("vec_id"),
+      transform(sequence(lit(1), lit(dims)),
+        d => (sin(col("id") * d) + lit(0.001) * d.cast(DoubleType)).cast(FloatType))
+        .as("embedding"))
+    val pairs = AnnOps.cosineNearDupPairs(planes = 4, dims = dims, threshold = 0.999)(
+      base.unionByName(wiggled)).cache()
+    val matched = pairs.filter(col("b_id") === col("a_id") + 1000).count()
+    assert(matched >= 250, s"only $matched of 500 planted near-dups found")
+    // every reported pair is a true near-dup (sim really >= threshold) —
+    // sin-derived vectors legitimately contain coincidental near-dups, so
+    // the check is on correctness of the reported similarity, not counts
+    assert(pairs.filter(col("sim") < 0.999).count() === 0)
+  }
+
   test("quantization round-trip within scale/2 and checked cast rejects overflow") {
     val pts = Faux.uniform(spark, Faux.Box3(-50, 0, 100, 950, 1000, 1100), 1000, seed = 3)
     val xf = Quantize.autoXForm(pts, Seq("x", "y", "z"))
