@@ -31,7 +31,10 @@ object ScalingBench {
       .config("spark.sql.shuffle.partitions", cores)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
-      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "5000000")
+      // NOTE deliberately NOT raising objectHashAggregate's sort fallback
+      // here: doc synthesis (collect_list per doc) relies on the early
+      // sort-based fallback to bound memory at high replication; the
+      // raised threshold is for per-point top-k aggregation paths only
       .config("spark.sql.session.timeZone", "UTC")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
