@@ -1,0 +1,60 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.sources.{Faux, DocSynth}
+import graft.operators._
+import graft.model.Model
+
+/** Edge cases: empty inputs, degenerate geometry, single points —
+  * the operators must degrade gracefully, not throw. */
+class EdgeCaseSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private lazy val empty = Faux.ramp(spark, Faux.Box3(0, 0, 0, 1, 1, 1), 2)
+    .filter(col("x") > 100)
+
+  test("filters and aggregates handle empty input") {
+    assert(PointOps.range(Seq(PointOps.DimRange("z", 0, 1)))(empty).count() === 0)
+    assert(JoinOps.cropPolygon("POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))")(empty).count() === 0)
+    assert(AggOps.voxelGrid(1, 1, 1)(empty).count() === 0)
+    assert(TileOps.tileCounts(10, 0, 0)(empty).count() === 0)
+    assert(TileOps.chipper(10)(empty).count() === 0)
+    assert(SkewOps.adaptiveCells(10, 2, 4)(empty).count() === 0)
+    assert(JoinOps.statisticalOutlierRemoval(4, 1.0, 4)(empty).count() === 0)
+    assert(GroundOps.pmf()(empty).count() === 0)
+  }
+
+  test("single-point input flows through tiling and joins") {
+    val one = Faux.constant(spark, Faux.Box3(5, 5, 5, 5, 5, 5), 1)
+    assert(TileOps.chipper(10)(one).count() === 1)
+    assert(TileOps.tileCounts(10, 0, 0)(one).head().getAs[Long]("n") === 1)
+    val crop = JoinOps.cropPolygon("POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))")(one)
+    assert(crop.count() === 1)
+  }
+
+  test("dedup on empty documents returns empty") {
+    import spark.implicits._
+    val noDocs = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(TextOps.dedupExact(noDocs).count() === 0)
+    assert(TextOps.minhashDedup()(noDocs).count() === 0)
+  }
+
+  test("writers.doc round-trips the doc table through a pipeline") {
+    val tmp = java.nio.file.Files.createTempDirectory("graftdocsrt").toString
+    val dir = "/root/testdata/sf0.001"
+    val docs = DocSynth.cachedDocs(spark, dir)
+    val spec =
+      s"""{ "pipeline": [
+         |  {"type": "readers.doc", "sf_dir": "$dir"},
+         |  {"type": "filters.transformation",
+         |   "matrix": "1 0 0 0 0 1 0 0 0 0 1 0 0 0 0 1"},
+         |  {"type": "writers.doc", "sf_dir": "$dir", "path": "$tmp/out"}
+         |]}""".stripMargin
+    graft.plans.Pipeline.run(spark, spec)
+    val written = spark.read.parquet(s"$tmp/out")
+    val a = Model.spanSignature(written).orderBy("doc_id")
+    val b = Model.spanSignature(docs).orderBy("doc_id")
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+  }
+}
