@@ -37,6 +37,10 @@ object DocSynth {
       col("l_linenumber"), col("l_partkey"), col("l_suppkey"),
       col("l_quantity"), col("l_returnflag"), col("l_linestatus"))
     li.withColumn("seq", row_number().over(w)).select(
+      // keep the raw long key alongside: grouping the span union by it
+      // (not by the derived string) lets Catalyst reuse the window's
+      // hash exchange — one shuffle for the whole synthesis
+      col("l_orderkey").as("okey"),
       col("l_orderkey").cast(StringType).as("doc_id"),
       col("seq"),
       (col("seq") * 3).cast(IntegerType).as("offset"),
@@ -57,26 +61,26 @@ object DocSynth {
 
   def docTableFrom(li: DataFrame): DataFrame = {
     val q = quantized(li)
-    val pointSpans = q.select(col("doc_id"),
+    val pointSpans = q.select(col("okey"),
       lit("point").as("kind"),
       concat_ws(",", col("xi").cast(StringType), col("yi").cast(StringType),
         col("zi").cast(StringType), col("intensity").cast(StringType),
         col("pid").cast(StringType)).as("text"),
       lit("").as("media_ref"), col("offset"))
-    val textSpans = q.filter(col("seq") % 2 === 1).select(col("doc_id"),
+    val textSpans = q.filter(col("seq") % 2 === 1).select(col("okey"),
       lit("text").as("kind"),
       concat(col("l_returnflag"), col("l_linestatus"), lit(" line "),
         col("seq").cast(StringType)).as("text"),
       lit("").as("media_ref"), (col("offset") + 1).as("offset"))
-    val mediaSpans = q.filter(col("seq") % 3 === 1).select(col("doc_id"),
+    val mediaSpans = q.filter(col("seq") % 3 === 1).select(col("okey"),
       lit("media").as("kind"), lit("").as("text"),
       concat(lit("blob://"), col("l_partkey").cast(StringType)).as("media_ref"),
       (col("offset") + 2).as("offset"))
     pointSpans.unionByName(textSpans).unionByName(mediaSpans)
-      .groupBy(col("doc_id"))
+      .groupBy(col("okey"))
       .agg(sort_array(collect_list(struct(
         col("offset"), col("kind"), col("text"), col("media_ref")))).as("ordered"))
-      .select(col("doc_id"),
+      .select(col("okey").cast(StringType).as("doc_id"),
         transform(col("ordered"), s => struct(
           s.getField("kind").as("kind"),
           s.getField("text").as("text"),
