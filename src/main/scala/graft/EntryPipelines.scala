@@ -189,10 +189,6 @@ object EntryPipelines {
     s"(${spread(ix)} | (${spread(iy)} << 1))"
   }
 
-  /** Level-`l` cell coords of (x, y) in the default space (scale 2^20). */
-  private def cellSql(c: String, l: Int): String =
-    s"(CAST(($c) * 1048576 AS BIGINT) >> ${30 - l})"
-
   private val wordsSql = TextOps.wordsSql
   import TextOps.sqlList
 
@@ -225,6 +221,13 @@ object EntryPipelines {
   val oracleSql: Map[String, String] = {
     val P = Oracle.pointsCte
     Map(
+      // EXACT kNN oracle (no grid mirroring): a 64-unit x/y band join is a
+      // pure candidate PREFILTER — any neighbor within euclidean 64 of a
+      // point satisfies |dx|<=64 and |dy|<=64, so the per-point nearest-1
+      // is exact whenever its distance is <= 64. The `cert`/`missing` CTEs
+      // verify that IN SQL and emit a loud poison row (breaking the hash
+      // compare) if the band were ever too narrow — the oracle can be
+      // fast without trusting the engine's grid.
       "q_knn_delta" ->
         s"""WITH $P,
            |src AS (SELECT * FROM pts WHERE intensity % 89 = 0),
@@ -235,12 +238,28 @@ object EntryPipelines {
            |         sqrt((s.x - c.x) * (s.x - c.x) + (s.y - c.y) * (s.y - c.y)) AS dist,
            |         c.doc_id AS cdoc, c.span_idx AS cspan
            |  FROM src s JOIN cand c
-           |    ON abs(${cellSql("s.x", 4)} - ${cellSql("c.x", 4)}) <= 1
-           |   AND abs(${cellSql("s.y", 4)} - ${cellSql("c.y", 4)}) <= 1)
-           |SELECT doc_id, span_idx, dx, dy, dz FROM pairs
-           |QUALIFY row_number() OVER (PARTITION BY doc_id, span_idx
-           |                           ORDER BY dist, cdoc, cspan) = 1""".stripMargin,
+           |    ON c.x BETWEEN s.x - 256.0 AND s.x + 256.0
+           |   AND c.y BETWEEN s.y - 256.0 AND s.y + 256.0),
+           |n1 AS (
+           |  SELECT doc_id, span_idx, dx, dy, dz, dist FROM pairs
+           |  QUALIFY row_number() OVER (PARTITION BY doc_id, span_idx
+           |                             ORDER BY dist, cdoc, cspan) = 1),
+           |cert AS (SELECT count(*) AS bad FROM n1 WHERE dist > 256.0),
+           |missing AS (
+           |  SELECT count(*) AS miss FROM src s
+           |  WHERE NOT EXISTS (SELECT 1 FROM n1 n
+           |                    WHERE n.doc_id = s.doc_id AND n.span_idx = s.span_idx)
+           |    AND (SELECT count(*) FROM cand) > 0)
+           |SELECT doc_id, span_idx, dx, dy, dz FROM n1
+           |UNION ALL
+           |SELECT 'ORACLE_BAND_TOO_NARROW', -1, CAST(NULL AS DOUBLE),
+           |       CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)
+           |FROM cert, missing WHERE cert.bad > 0 OR missing.miss > 0""".stripMargin,
 
+      // EXACT SOR oracle: same band-prefilter + in-SQL certificate
+      // discipline (kth-nearest distance must stay within the band, and
+      // every point must appear) — mirrors nothing about the engine's
+      // grid levels.
       "q_sor" ->
         s"""WITH $P,
            |sub AS (SELECT * FROM pts WHERE intensity % 19 = 0),
@@ -250,8 +269,8 @@ object EntryPipelines {
            |              + (a.z - b.z) * (a.z - b.z)) AS dist,
            |         b.doc_id AS bdoc, b.span_idx AS bspan
            |  FROM sub a JOIN sub b
-           |    ON abs(${cellSql("a.x", 4)} - ${cellSql("b.x", 4)}) <= 1
-           |   AND abs(${cellSql("a.y", 4)} - ${cellSql("b.y", 4)}) <= 1
+           |    ON b.x BETWEEN a.x - 256.0 AND a.x + 256.0
+           |   AND b.y BETWEEN a.y - 256.0 AND a.y + 256.0
            |   AND NOT (a.doc_id = b.doc_id AND a.span_idx = b.span_idx)),
            |knn AS (
            |  SELECT doc_id, span_idx, dist,
@@ -259,10 +278,20 @@ object EntryPipelines {
            |                            ORDER BY dist, bdoc, bspan) AS rn
            |  FROM pairs),
            |md AS (
-           |  SELECT doc_id, span_idx, avg(dist) AS md
+           |  SELECT doc_id, span_idx, avg(dist) AS md,
+           |         max(dist) AS kd, count(*) AS nk
            |  FROM knn WHERE rn <= 4 GROUP BY doc_id, span_idx),
+           |cert AS (SELECT count(*) AS bad FROM md WHERE nk < 4 OR kd > 256.0),
+           |missing AS (
+           |  SELECT count(*) AS miss FROM sub s
+           |  WHERE NOT EXISTS (SELECT 1 FROM md m
+           |                    WHERE m.doc_id = s.doc_id AND m.span_idx = s.span_idx)
+           |    AND (SELECT count(*) FROM sub) > 1),
            |th AS (SELECT avg(md) + 1.0 * stddev_samp(md) AS t FROM md)
-           |SELECT md.doc_id, md.span_idx FROM md, th WHERE md.md <= th.t""".stripMargin,
+           |SELECT md.doc_id, md.span_idx FROM md, th WHERE md.md <= th.t
+           |UNION ALL
+           |SELECT 'ORACLE_BAND_TOO_NARROW', -1
+           |FROM cert, missing WHERE cert.bad > 0 OR missing.miss > 0""".stripMargin,
 
       "q_p2g" ->
         s"""WITH $P,
@@ -375,6 +404,8 @@ object EntryPipelines {
         s"""WITH $P, $pmfSql
            |SELECT classification, CAST(count(*) AS BIGINT) AS n
            |FROM classified GROUP BY classification""".stripMargin,
+
+      "q_ann_lsh" -> annLshSql,
 
       "q_ann_cosine" ->
         s"""WITH q AS (SELECT $queryVecSql AS qv),
@@ -528,6 +559,49 @@ object EntryPipelines {
       |    ON CAST(floor(p.x / 16) AS BIGINT) = s.cx
       |   AND CAST(floor(p.y / 16) AS BIGINT) = s.cy)""".stripMargin)
     sb.toString
+  }
+
+  /** ANN-LSH oracle: re-derives the sign-random-hyperplane weights from
+    * their public md5-parity DEFINITION in SQL (weight(p,d) = +1 iff the
+    * first byte of md5("p:d") is even — AnnOps.planeWeight), recomputes
+    * every row's bucket, the query's bucket and its Hamming-1 probe set,
+    * then the exact cosine rerank of the probed buckets. Nothing is
+    * inlined from the engine besides the query vector itself. */
+  private def annLshSql: String = {
+    val planes = 6
+    val wv =
+      """list_transform(generate_series(0, 63), d ->
+        |           CASE WHEN (strpos('0123456789abcdef',
+        |                  substring(md5(CAST(w.p AS VARCHAR) || ':' || CAST(d AS VARCHAR)), 2, 1)) - 1) % 2 = 0
+        |                THEN CAST(1 AS DOUBLE) ELSE CAST(-1 AS DOUBLE) END)""".stripMargin
+    s"""WITH q AS (SELECT $queryVecSql AS qv),
+       |w AS (
+       |  SELECT w.p AS p,
+       |         $wv AS wv
+       |  FROM (SELECT unnest(generate_series(0, ${planes - 1})) AS p) w),
+       |qb AS (
+       |  SELECT CAST(sum(CASE WHEN list_dot_product(q.qv, w.wv) >= 0
+       |                       THEN (1::BIGINT << CAST(w.p AS INT)) ELSE 0 END) AS BIGINT) AS qbits
+       |  FROM w, q),
+       |probes AS (
+       |  SELECT qbits AS probe FROM qb
+       |  UNION ALL
+       |  SELECT CAST(xor(qbits, 1::BIGINT << CAST(pp.p AS INT)) AS BIGINT)
+       |  FROM qb, (SELECT unnest(generate_series(0, ${planes - 1})) AS p) pp),
+       |eb AS (
+       |  SELECT e.vec_id, e.label, e.embedding,
+       |         (SELECT CAST(sum(CASE WHEN list_dot_product(e.embedding::DOUBLE[], w.wv) >= 0
+       |                               THEN (1::BIGINT << CAST(w.p AS INT)) ELSE 0 END) AS BIGINT)
+       |          FROM w) AS bucket
+       |  FROM embeddings e),
+       |cand AS (
+       |  SELECT vec_id, label,
+       |         list_dot_product(embedding::DOUBLE[], q.qv) /
+       |         (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) *
+       |          sqrt(list_dot_product(q.qv, q.qv))) AS sim
+       |  FROM eb, q WHERE bucket IN (SELECT probe FROM probes))
+       |SELECT vec_id, label, round(sim, 6) AS sim6 FROM cand
+       |ORDER BY sim DESC, vec_id LIMIT 20""".stripMargin
   }
 
   /** MinHash-LSH dedup oracle: same md5-anchored signature, band keys,

@@ -15,15 +15,23 @@ object AggOps {
     * exact distinct value set (StatsFilter.hpp:85,94 uses std::set —
     * exact, not approximate; at scale swap to approx_count_distinct). */
   def stats(dims: Seq[String], enumerate: Set[String] = Set.empty)(df: DataFrame): DataFrame = {
-    val perDim = dims.map { d =>
+    // ONE scan computing every dimension's aggregates side by side, then
+    // an unpivot into the reference's one-row-per-dim shape — N scans
+    // unioned would read the input N times for the same answer
+    val aggs = dims.flatMap { d =>
       val c = col(d).cast(DoubleType)
-      df.agg(
-        count(c).as("count"), min(c).as("min"), max(c).as("max"), avg(c).as("avg"),
-        (if (enumerate(d)) sort_array(collect_set(c)) else lit(null).cast(ArrayType(DoubleType)))
-          .as("values"))
-        .select(lit(d).as("dim"), col("count"), col("min"), col("max"), col("avg"), col("values"))
+      Seq(count(c).as(s"__n_$d"), min(c).as(s"__mn_$d"),
+        max(c).as(s"__mx_$d"), avg(c).as(s"__av_$d")) ++
+        (if (enumerate(d)) Seq(sort_array(collect_set(c)).as(s"__vs_$d")) else Nil)
     }
-    perDim.reduce(_ unionByName _)
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val rows = array(dims.map { d =>
+      struct(lit(d).as("dim"), col(s"__n_$d").as("count"), col(s"__mn_$d").as("min"),
+        col(s"__mx_$d").as("max"), col(s"__av_$d").as("avg"),
+        (if (enumerate(d)) col(s"__vs_$d") else lit(null).cast(ArrayType(DoubleType)))
+          .as("values"))
+    }: _*)
+    one.select(explode(rows).as("s")).select("s.*")
   }
 
   /** VoxelGrid downsample (PCL semantics via filters.pclblock,

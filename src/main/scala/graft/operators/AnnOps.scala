@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, Column}
 import org.apache.spark.sql.graftbridge.{ColumnBridge => ExpressionUtils}
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, BinaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.functions._
@@ -59,37 +59,88 @@ object AnnOps {
   def dotConst(c: Column, q: Array[Double]): Column =
     ExpressionUtils.column(DotConst(ExpressionUtils.expression(c), q))
 
-  /** Sequential-fold dot/norm via HOFs — the oracle-parity path (same
-    * left-to-right double summation as a SQL engine's list_dot_product). */
+  /** Codegen'd sum of squares of a float-array column (norm² without the
+    * per-element HOF boxing). Same left-to-right summation order as the
+    * HOF fold and a SQL engine's list_dot_product(v, v). */
+  case class DotSelf(child: Expression) extends UnaryExpression with Serializable {
+    override def dataType: DataType = DoubleType
+    override def nullIntolerant: Boolean = true
+    override def prettyName: String = "dot_self"
+    override protected def nullSafeEval(v: Any): Any = {
+      val arr = v.asInstanceOf[ArrayData]
+      var s = 0.0; var i = 0; val n = arr.numElements()
+      while (i < n) { val x = arr.getFloat(i).toDouble; s += x * x; i += 1 }
+      s
+    }
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c =>
+        s"""double s = 0.0;
+           |for (int i = 0; i < $c.numElements(); i++) {
+           |  double x = (double) $c.getFloat(i); s += x * x;
+           |}
+           |${ev.value} = s;""".stripMargin)
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  /** Codegen'd dot product of two float-array columns (the bucket-local
+    * near-dup pair hot path). */
+  case class DotArrays(left: Expression, right: Expression)
+      extends BinaryExpression with Serializable {
+    override def dataType: DataType = DoubleType
+    override def nullIntolerant: Boolean = true
+    override def prettyName: String = "dot_arrays"
+    override protected def nullSafeEval(a: Any, b: Any): Any = {
+      val x = a.asInstanceOf[ArrayData]; val y = b.asInstanceOf[ArrayData]
+      val n = math.min(x.numElements(), y.numElements())
+      var s = 0.0; var i = 0
+      while (i < n) { s += x.getFloat(i).toDouble * y.getFloat(i).toDouble; i += 1 }
+      s
+    }
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) =>
+        s"""int n = Math.min($a.numElements(), $b.numElements());
+           |double s = 0.0;
+           |for (int i = 0; i < n; i++) s += ((double) $a.getFloat(i)) * ((double) $b.getFloat(i));
+           |${ev.value} = s;""".stripMargin)
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+      copy(left = l, right = r)
+  }
+
+  /** Sequential-fold dot via HOFs — kept as the reference formulation the
+    * codegen'd [[DotConst]] is verified against (identical left-to-right
+    * double summation; see the dot-parity spec). Not on any hot path. */
   def dotSeq(a: Column, q: Array[Double]): Column = {
     val qArr = array(q.map(lit): _*)
     aggregate(zip_with(a, qArr, (x, w) => x.cast(DoubleType) * w),
       lit(0.0), (acc, v) => acc + v)
   }
 
-  def norm(a: Column): Column =
-    sqrt(aggregate(transform(a, x => x.cast(DoubleType) * x.cast(DoubleType)),
-      lit(0.0), (acc, v) => acc + v))
+  def norm2(a: Column): Column = ExpressionUtils.column(DotSelf(ExpressionUtils.expression(a)))
+  def norm(a: Column): Column = sqrt(norm2(a))
+  def dotPair(a: Column, b: Column): Column =
+    ExpressionUtils.column(DotArrays(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
 
   /** Brute-force cosine top-k against a constant query vector.
     * Plan: scan -> project sim -> TakeOrderedAndProject(k) — fully
-    * distributed partial top-k, no shuffle of the table. */
-  def cosineTopK(query: Array[Double], k: Int, exactSeqFold: Boolean = true)
-                (df: DataFrame): DataFrame = {
+    * distributed partial top-k, no shuffle of the table. All dot products
+    * are codegen'd (DotConst/DotSelf); the interpreted HOF fold exists
+    * only as the parity reference. */
+  def cosineTopK(query: Array[Double], k: Int)(df: DataFrame): DataFrame = {
     val qn = math.sqrt(query.map(x => x * x).sum)
-    val dot = if (exactSeqFold) dotSeq(col("embedding"), query)
-              else dotConst(col("embedding"), query)
+    val dot = dotConst(col("embedding"), query)
     df.select(col("vec_id"), col("label"),
       (dot / greatest(norm(col("embedding")) * lit(qn), lit(java.lang.Double.MIN_VALUE))).as("sim"))
       .orderBy(col("sim").desc, col("vec_id"))
       .limit(k)
   }
 
-  /** LSH bucket id: `planes` sign bits of hyperplane dot products. */
+  /** LSH bucket id: `planes` sign bits of hyperplane dot products —
+    * codegen'd per-plane dots (bulk bucket assignment is the ingest-time
+    * hot path at scale). */
   def lshBucket(planes: Int, dims: Int)(v: Column): Column = {
     val bits = (0 until planes).map { p =>
       val w = Array.tabulate(dims)(d => planeWeight(p, d).toDouble)
-      when(dotSeq(v, w) >= 0, lit(1L << p)).otherwise(lit(0L))
+      when(dotConst(v, w) >= 0, lit(1L << p)).otherwise(lit(0L))
     }
     bits.reduce((a: Column, b: Column) => a.bitwiseOR(b))
   }
@@ -111,7 +162,7 @@ object AnnOps {
     df.withColumn("bucket", lshBucket(planes, dims)(col("embedding")))
       .filter(col("bucket").isin(probes: _*))
       .select(col("vec_id"), col("label"), col("bucket"),
-        (dotSeq(col("embedding"), query) / greatest(norm(col("embedding")) * lit(qn), lit(java.lang.Double.MIN_VALUE))).as("sim"))
+        (dotConst(col("embedding"), query) / greatest(norm(col("embedding")) * lit(qn), lit(java.lang.Double.MIN_VALUE))).as("sim"))
       .orderBy(col("sim").desc, col("vec_id"))
       .limit(k)
   }
@@ -131,9 +182,7 @@ object AnnOps {
     l.join(r, "bucket")
       .filter(col("a_id") < col("b_id"))
       .withColumn("sim",
-        aggregate(zip_with(col("ea"), col("eb"),
-          (x, y) => x.cast(DoubleType) * y.cast(DoubleType)),
-          lit(0.0), (acc, v) => acc + v) / greatest(col("na") * col("nb"), lit(java.lang.Double.MIN_VALUE)))
+        dotPair(col("ea"), col("eb")) / greatest(col("na") * col("nb"), lit(java.lang.Double.MIN_VALUE)))
       .filter(col("sim") >= threshold)
       .select(col("a_id"), col("b_id"), col("sim"))
   }

@@ -31,11 +31,17 @@ object InfoOps {
     * SOR; the cell side at `level` must be >= radius. */
   def radiusOutlierRemoval(radius: Double, minNeighbors: Int, level: Int,
                            space: CellSpace = CellSpace.default)(df: DataFrame): DataFrame = {
+    // the 3x3 ring at `level` provably contains every neighbor within one
+    // cell side — a smaller side would silently drop far neighbors
+    // (reference KDIndex radius query is exact, KDIndex.hpp:54-106)
+    val side = math.min(space.maxx - space.minx, space.maxy - space.miny) / (1L << level).toDouble
+    require(side >= radius,
+      s"cell side $side at level $level < radius $radius — use a coarser level")
     val pts = df
     val slim = pts.select("doc_id", "span_idx", "x", "y", "z")
     val pairs = JoinOps.knnPairs(slim, slim, level, space, dims3 = true)
       .filter(!(col("doc_id") === col("__r.doc_id") && col("span_idx") === col("__r.span_idx")))
-      .filter(col("__dist") <= radius)
+      .filter(col("__d2") <= radius * radius)
     val counts = pairs.groupBy(col("doc_id"), col("span_idx"))
       .agg(count(lit(1)).as("__nn"))
       .filter(col("__nn") >= minNeighbors)

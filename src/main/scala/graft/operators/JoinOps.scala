@@ -26,13 +26,16 @@ case class CellSetContains(child: Expression, cells: java.util.HashSet[java.lang
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
-/** Bounded k-smallest mean: keeps the k smallest values seen in a
+/** Bounded k-smallest collector: keeps the k smallest values seen in a
   * max-heap-ordered buffer (reference stats::Summary-style streaming
   * aggregate object, SURVEY.md §2.6 -> Aggregator). Mergeable, so Spark
-  * runs it partial+final with map-side combine. */
-class KnnMeanAgg(k: Int)
-    extends org.apache.spark.sql.expressions.Aggregator[Double, Array[Double], Double] {
-  import org.apache.spark.sql.{Encoder, Encoders}
+  * runs it partial+final with map-side combine. `finish` returns the
+  * values in ASCENDING order so every downstream reduction (mean,
+  * k-th distance certificate) is deterministic regardless of the
+  * partitioning that fed the heap. */
+class TopKDistAgg(k: Int)
+    extends org.apache.spark.sql.expressions.Aggregator[Double, Array[Double], Array[Double]] {
+  import org.apache.spark.sql.Encoder
   // buffer: the up-to-k smallest values, max at slot 0 (binary max-heap)
   override def zero: Array[Double] = Array.empty
   private def siftUpDown(h: Array[Double]): Unit = {
@@ -64,11 +67,33 @@ class KnnMeanAgg(k: Int)
   }
   override def merge(a: Array[Double], b: Array[Double]): Array[Double] =
     b.foldLeft(a)(reduce)
-  override def finish(b: Array[Double]): Double =
-    if (b.isEmpty) Double.NaN else b.sum / b.length
+  override def finish(b: Array[Double]): Array[Double] = {
+    val out = java.util.Arrays.copyOf(b, b.length)
+    java.util.Arrays.sort(out)
+    out
+  }
   override def bufferEncoder: Encoder[Array[Double]] =
     org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Double]]()
-  override def outputEncoder: Encoder[Double] = Encoders.scalaDouble
+  override def outputEncoder: Encoder[Array[Double]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Double]]()
+}
+
+/** Codegen'd 3x3 neighbor-ring of a cell id (the kNN replication keys).
+  * Replaces the Scala UDF that used to break whole-stage codegen on the
+  * replicated side of the engine's biggest shuffles (SOR/ROR/delta). */
+case class NeighborCellsExpr(child: Expression, space: CellSpace)
+    extends UnaryExpression with Serializable {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "neighbor_cells"
+  override protected def nullSafeEval(v: Any): Any =
+    JoinOps.neighborCellsData(space, v.asInstanceOf[Long])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val sp = ctx.addReferenceObj("space", space, classOf[CellSpace].getName)
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.operators.JoinOps.neighborCellsData($sp, $c);")
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
 /** Spatial joins. The common machinery is the cell-cover prefilter
@@ -216,54 +241,152 @@ object JoinOps {
     }.drop("__px", "__py", "__rpx", "__rpy", "__bands")
   }
 
+  /** ArrayData ring for the codegen'd [[NeighborCellsExpr]]. */
+  def neighborCellsData(space: CellSpace, cell: Long): org.apache.spark.sql.catalyst.util.ArrayData =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(space.neighborhood(cell))
+
+  private def neighborRing(cell: Column, space: CellSpace): Column =
+    toCol(NeighborCellsExpr(toExpr(cell), space))
+
   /** Grid-partitioned kNN pair generation: for each left point, all right
     * points within the 3x3 neighborhood of its level-`level` cell, with
-    * their 2D/3D distance. The contract callers must respect (documented
-    * reference KDIndex semantics, KDIndex.hpp:54-106): the cell side
-    * length at `level` must be >= the largest kNN radius of interest, or
-    * far neighbors are missed. Right side is replicated 9x (the classic
+    * their SQUARED 2D/3D distance `__d2` (sqrt is monotonic — callers
+    * compare against squared radii and take at most k roots after
+    * aggregation, not one per pair). The contract callers must respect
+    * (documented reference KDIndex semantics, KDIndex.hpp:54-106): the
+    * cell side length at `level` must be >= the largest kNN radius of
+    * interest, or far neighbors are missed — radius-bounded callers
+    * `require` this; unbounded-kNN callers go through [[escalateKnn]],
+    * which proves it per point with a distance certificate. Right side
+    * is replicated 9x via a codegen'd ring expression (the classic
     * neighbor-ring replication join); left side shuffles once on cell.
     */
   def knnPairs(left: DataFrame, right: DataFrame, level: Int,
                space: CellSpace = CellSpace.default,
-               dims3: Boolean = false): DataFrame = {
-    val spark = left.sparkSession
-    val nbrUdf = udf((cell: Long) => space.neighborhood(cell))
+               dims3: Boolean = false): DataFrame =
+    ringPairs(left, right, level, space, dims3, None)
+
+  private def ringPairs(left: DataFrame, right: DataFrame, level: Int,
+                        space: CellSpace, dims3: Boolean,
+                        keepCells: Option[java.util.HashSet[java.lang.Long]]): DataFrame = {
     val l = left.withColumn("__cell", SpatialFunctions.cellId(col("x"), col("y"), level, space))
-    val r = right
-      .withColumn("__c0", SpatialFunctions.cellId(col("x"), col("y"), level, space))
-      .withColumn("__cell", explode(nbrUdf(col("__c0"))))
-      .select(col("__cell"), struct(right.columns.map(col): _*).as("__r"))
+    var rc = right.withColumn("__cell",
+      explode(neighborRing(SpatialFunctions.cellId(col("x"), col("y"), level, space), space)))
+    // escalation rounds: only ring cells that still hold uncertified left
+    // points matter — filter map-side, before the shuffle
+    keepCells.foreach(s => rc = rc.filter(toCol(CellSetContains(toExpr(col("__cell")), s))))
+    val r = rc.select(col("__cell"), struct(right.columns.map(col): _*).as("__r"))
     // explicit products, not pow(): bit-identical to the SQL oracle's x*x
     val ddx = col("x") - col("__r.x"); val ddy = col("y") - col("__r.y")
-    val dist2d = ddx * ddx + ddy * ddy
+    val d2d = ddx * ddx + ddy * ddy
     val ddz = col("z") - col("__r.z")
-    val dist = if (dims3) sqrt(dist2d + ddz * ddz) else sqrt(dist2d)
-    l.join(r, "__cell").withColumn("__dist", dist).drop("__cell", "__c0")
+    val d2 = if (dims3) d2d + ddz * ddz else d2d
+    l.join(r, "__cell").withColumn("__d2", d2).drop("__cell")
   }
 
+  /** EXACT distributed kNN via grid-ring candidates + a per-point distance
+    * certificate with level escalation. A ring join at level L provably
+    * contains every neighbor within cellSide(L) of a point, so any point
+    * whose k-th ring candidate lies within that radius has its exact kNN
+    * (certificate passes). The (typically tiny) uncertified remainder —
+    * isolated points in sparse regions — re-runs at a 4x-coarser level
+    * against only the ring cells it touches, until level 0 (one cell =
+    * full cross join, exact by construction). This removes the silent
+    * approximation the reference's exact KDIndex (KDIndex.hpp:54-106)
+    * never had, while keeping the scale-friendly single-ring plan for
+    * ~all points.
+    *
+    * `agg` must aggregate `ringPairs` output per left point, keeping the
+    * left keys/coords; `certify(guard)` must return a boolean column that
+    * is true iff the per-point result is provably exact when every
+    * neighbor within `guard` was among the candidates.
+    */
+  private def escalateKnn(left: DataFrame, right: DataFrame, startLevel: Int,
+                          space: CellSpace, dims3: Boolean, excludeSelf: Boolean)
+                         (agg: DataFrame => DataFrame)
+                         (certify: Double => Column): DataFrame = {
+    val slim = Seq("doc_id", "span_idx", "x", "y", "z").map(col)
+    val r0 = right.select(slim: _*)
+    var pending = left.select(slim: _*)
+    var out: Option[DataFrame] = None
+    var lvl = math.max(0, startLevel)
+    var firstRound = true
+    var done = false
+    while (!done) {
+      val guard = math.min(space.maxx - space.minx, space.maxy - space.miny) / (1L << lvl).toDouble
+      val keep =
+        if (firstRound) None
+        else {
+          val cells = pending
+            .select(SpatialFunctions.cellId(col("x"), col("y"), lvl, space).as("c"))
+            .distinct().collect().map(_.getLong(0))
+          if (cells.length <= (1 << 16)) Some(cellSet(cells)) else None
+        }
+      var pairs = ringPairs(pending, r0, lvl, space, dims3, keep)
+      if (excludeSelf)
+        pairs = pairs.filter(!(col("doc_id") === col("__r.doc_id") &&
+          col("span_idx") === col("__r.span_idx")))
+      // materialize once — feeds both the certified and escalation branch
+      val nn = agg(pairs).localCheckpoint()
+      val cert = if (lvl == 0) lit(true) else certify(guard)
+      val ok = nn.filter(cert)
+      out = Some(out.map(_.unionByName(ok)).getOrElse(ok))
+      if (lvl == 0) done = true
+      else {
+        // uncertified + points with zero ring candidates (absent from nn)
+        val bad = nn.filter(!cert).select(slim: _*)
+          .unionByName(pending.join(nn.select("doc_id", "span_idx"),
+            Seq("doc_id", "span_idx"), "left_anti"))
+          .localCheckpoint()
+        if (bad.isEmpty) done = true
+        else { pending = bad; lvl = math.max(0, lvl - 2) }
+      }
+      firstRound = false
+    }
+    out.get
+  }
+
+  /** Exact k-nearest squared distances per left point: (doc_id, span_idx,
+    * x, y, z, __nnd2 array<double> ascending). */
+  def exactKnnDistances(left: DataFrame, right: DataFrame, k: Int, startLevel: Int,
+                        space: CellSpace = CellSpace.default, dims3: Boolean = false,
+                        excludeSelf: Boolean = false): DataFrame = {
+    val topk = udaf(new TopKDistAgg(k))
+    escalateKnn(left, right, startLevel, space, dims3, excludeSelf)(pairs =>
+      pairs.groupBy(col("doc_id"), col("span_idx"), col("x"), col("y"), col("z"))
+        .agg(topk(col("__d2")).as("__nnd2")))(g =>
+      size(col("__nnd2")) === k && element_at(col("__nnd2"), k) <= lit(g * g))
+  }
+
+  /** Exact nearest-1 neighbor coords per left point (ties broken by the
+    * lexicographic (d2, doc, span) ordering — the reference's stable
+    * KDIndex order). */
+  def exactNearest(left: DataFrame, right: DataFrame, startLevel: Int,
+                   space: CellSpace = CellSpace.default,
+                   dims3: Boolean = false): DataFrame =
+    escalateKnn(left, right, startLevel, space, dims3, excludeSelf = false)(pairs =>
+      pairs.groupBy(col("doc_id"), col("span_idx"), col("x"), col("y"), col("z"))
+        .agg(
+          min_by(struct(col("__r.x").as("nx"), col("__r.y").as("ny"), col("__r.z").as("nz")),
+            struct(col("__d2"), col("__r.doc_id"), col("__r.span_idx"))).as("__n"),
+          min(col("__d2")).as("__d2min")))(g =>
+      col("__d2min") <= lit(g * g))
+
   /** `pdal delta` (DeltaKernel.cpp:114-150, 269-330): for each source
-    * point the single nearest candidate point; emits per-point deltas
-    * plus min/max/mean/median summary of each delta dimension.
-    * Nearest-1 is a min_by hash aggregate (tie-break = the lexicographic
-    * (dist, doc, span) struct ordering), NOT a window — no sort of the
-    * pair fan-out, map-side combinable. */
+    * point the single nearest candidate point (EXACT — certificate +
+    * escalation, see [[escalateKnn]]); emits per-point deltas plus
+    * min/max/mean/median summary of each delta dimension. Nearest-1 is a
+    * min_by hash aggregate (tie-break = the lexicographic (d2, doc, span)
+    * struct ordering), NOT a window — no sort of the pair fan-out,
+    * map-side combinable. */
   def delta(src: DataFrame, candidates: DataFrame, level: Int,
             space: CellSpace = CellSpace.default,
             detail: Boolean = true): DataFrame = {
-    // slim both sides to id + coords before the 9x replication join
-    val slim = Seq("doc_id", "span_idx", "x", "y", "z").map(col)
-    val pairs = knnPairs(src.select(slim: _*), candidates.select(slim: _*),
-      level, space, dims3 = false)
-    val nearest = pairs
-      .groupBy(col("doc_id"), col("span_idx"))
-      .agg(min_by(
-        struct((col("x") - col("__r.x")).as("dx"),
-          (col("y") - col("__r.y")).as("dy"),
-          (col("z") - col("__r.z")).as("dz")),
-        struct(col("__dist"), col("__r.doc_id"), col("__r.span_idx"))).as("d"))
-      .select(col("doc_id"), col("span_idx"),
-        col("d.dx").as("dx"), col("d.dy").as("dy"), col("d.dz").as("dz"))
+    val nn = exactNearest(src, candidates, level, space, dims3 = false)
+    val nearest = nn.select(col("doc_id"), col("span_idx"),
+      (col("x") - col("__n.nx")).as("dx"),
+      (col("y") - col("__n.ny")).as("dy"),
+      (col("z") - col("__n.nz")).as("dz"))
     if (detail) nearest
     else nearest.agg(
       min("dx").as("min_dx"), max("dx").as("max_dx"), avg("dx").as("mean_dx"), median(col("dx")).as("median_dx"),
@@ -273,37 +396,31 @@ object JoinOps {
 
   /** Statistical outlier removal (PCL SOR semantics via filters.pclblock,
     * PCLPipeline.hpp:278-300): per point the mean distance to its k
-    * nearest neighbors; keep points with meanDist <= mu + mult * sigma of
-    * the global distribution of mean distances. Two jobs: the kNN
-    * aggregate, then a scalar threshold broadcast back as a literal-free
-    * cross join (1-row DF) filter.
-    */
+    * EXACT nearest neighbors (certificate + escalation); keep points with
+    * meanDist <= mu + mult * sigma of the global distribution of mean
+    * distances. The kNN aggregate keeps squared distances; the k square
+    * roots per point happen once, summed in ascending order
+    * (deterministic), after aggregation.
+    *
+    * NOTE: the top-k Aggregator runs via ObjectHashAggregate, whose
+    * default sort-based fallback threshold (128 keys) is catastrophic for
+    * per-point grouping. Callers' sessions should raise
+    * spark.sql.objectHashAggregate.sortBased.fallbackThreshold (Verify/
+    * Bench/tests set 5e6) — deliberately NOT set here: an operator must
+    * not silently rewire session config (doc-synthesis sessions need the
+    * default's bounded-memory fallback). */
   def statisticalOutlierRemoval(k: Int, multThresh: Double, level: Int,
                                 space: CellSpace = CellSpace.default)(df: DataFrame): DataFrame = {
-    val pts = df.cache()
-    val slim = pts.select("doc_id", "span_idx", "x", "y", "z")
-    val pairs = knnPairs(slim, slim, level, space, dims3 = true)
-      .filter(!(col("doc_id") === col("__r.doc_id") && col("span_idx") === col("__r.span_idx")))
-    // mean distance to the k nearest via a bounded top-k aggregate —
-    // one partial+final hash agg over the pair fan-out instead of a
-    // window sort of it. Ties at the k boundary have equal distances,
-    // so the mean is identical to the rank-based selection.
-    // the Aggregator runs via ObjectHashAggregate, which falls back to
-    // sort-based after 128 distinct keys by default — catastrophic for
-    // per-point grouping (measured 16.8s -> 6.1s on the sf0.1 SOR query)
-    df.sparkSession.conf.set(
-      "spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "5000000")
-    val knnMean = org.apache.spark.sql.functions.udaf(new KnnMeanAgg(k))
+    val nn = exactKnnDistances(df, df, k, level, space, dims3 = true, excludeSelf = true)
     // cache: meanDist is tiny (one row per point) but feeds BOTH the
-    // global threshold and the final join — without it the whole
-    // neighbor-pair aggregation runs twice
-    val meanDist = pairs
-      .groupBy(col("doc_id"), col("span_idx"))
-      .agg(knnMean(col("__dist")).as("__md"))
+    // global threshold and the final join
+    val meanDist = nn.select(col("doc_id"), col("span_idx"),
+      (aggregate(transform(col("__nnd2"), d => sqrt(d)), lit(0.0), (a, v) => a + v)
+        / size(col("__nnd2"))).as("__md"))
       .cache()
     val thresh = meanDist.agg(
       (avg("__md") + lit(multThresh) * stddev_samp(col("__md"))).as("__t"))
-    pts.join(meanDist, Seq("doc_id", "span_idx"), "left")
+    df.join(meanDist, Seq("doc_id", "span_idx"), "left")
       .join(broadcast(thresh))
       .filter(col("__md").isNotNull && col("__md") <= col("__t"))
       .drop("__md", "__t")
