@@ -40,7 +40,7 @@ case class MortonKey(left: Expression, right: Expression, space: CellSpace)
   * ladder — the partition/join key of every spatial operator. */
 case class CellId(left: Expression, right: Expression, space: CellSpace, level: Int)
     extends BinaryExpression with Serializable {
-  require(level >= 0 && level <= CellSpace.MaxLevel, s"bad level $level")
+  require(level >= 0 && level <= CellSpace.MaxPackLevel, s"bad level $level")
   override def dataType: DataType = LongType
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "cell_id"

@@ -129,7 +129,16 @@ final case class CellSpace(minx: Double, miny: Double, maxx: Double, maxy: Doubl
 
 object CellSpace {
   val MaxLevel = 30
-  @inline def pack(morton: Long, level: Int): Long = (morton << 6) | level
+  /** Max level that can be PACKED into a level-tagged id: a level-L cell
+    * id carries 2L morton bits plus the 6-bit level tag, so L=30 would
+    * need 66 bits — the top 2 bits would be lost and distinct cells
+    * would collide (skipping exact PIP tests for far-away points).
+    * Level 29 (~2 nm cells on a 1 km space) is the usable ceiling. */
+  val MaxPackLevel = 29
+  @inline def pack(morton: Long, level: Int): Long = {
+    require(level <= MaxPackLevel, s"level $level > $MaxPackLevel overflows the 64-bit cell id")
+    (morton << 6) | level
+  }
   @inline def level(id: Long): Int = (id & 0x3fL).toInt
 
   /** Default space for the synthesized testdata cloud ([0,1000)²). */
@@ -189,7 +198,8 @@ object PolygonCover {
     val want = perim / targetCells
     val width = space.maxx - space.minx
     val lvl = math.ceil(math.log(width / want) / math.log(2.0)).toInt
-    math.max(2, math.min(CellSpace.MaxLevel, lvl))
+    // MaxPackLevel: a level-30 id would overflow 64 bits (see pack)
+    math.max(2, math.min(CellSpace.MaxPackLevel, lvl))
   }
 
   def fromWkt(wkt: String): Geometry = new WKTReader().read(wkt)

@@ -64,14 +64,17 @@ object SkewOps {
   def adaptiveCells(budget: Long, baseLevel: Int, maxLevel: Int,
                     space: CellSpace = CellSpace.default)(df: DataFrame): DataFrame = {
     require(maxLevel >= baseLevel)
+    // deep ladders can occupy far more finest-level cells than a driver
+    // histogram should hold — route them through the distributed
+    // join-based refinement (identical semantics, spec-pinned)
+    if (maxLevel > 10) return adaptiveCellsDistributed(budget, baseLevel, maxLevel, space)(df)
     // ONE aggregate at the finest level; all refinement decisions happen
     // on the (occupied-cells-only) histogram driver-side, then a single
     // descend-the-split-set pass assigns final cells. Equivalent to
     // per-level refinement (a cell's level-L count is its subtree total)
     // at 1 job instead of maxLevel-baseLevel jobs. Driver memory is
-    // O(occupied cells at maxLevel) — for deeper ladders at extreme
-    // scale, pre-aggregate the histogram at a coarser "histogram level"
-    // or keep it distributed with a join instead of a broadcast set.
+    // O(occupied cells at maxLevel), bounded by the maxLevel<=10 gate
+    // above (<= 4^10 cells).
     val hist = df
       .groupBy(SpatialFunctions.cellId(col("x"), col("y"), maxLevel, space).as("c"))
       .agg(count(lit(1)).as("n"))
@@ -95,6 +98,51 @@ object SkewOps {
         org.apache.spark.sql.graftbridge.ColumnBridge.expression(col("y")),
         space, baseLevel, maxLevel, splitSet))
     df.withColumn("cell", assign)
+  }
+
+  /** Distributed adaptive-cells refinement for DEEP ladders: one round
+    * per level over only the still-over-budget subset (shrinks
+    * geometrically), with the split decision as a join instead of a
+    * driver histogram — nothing driver-resident grows with data size.
+    * Semantics identical to [[adaptiveCells]]: a point's final cell is
+    * its finest ancestor, starting at baseLevel, whose subtree population
+    * <= budget (or maxLevel). Each round: (1) count the active subset by
+    * its level-L cell (counts ARE subtree totals — a cell's points are
+    * active all-or-nothing), (2) points in over-budget cells stay active
+    * at L+1, the rest settle at L. */
+  def adaptiveCellsDistributed(budget: Long, baseLevel: Int, maxLevel: Int,
+                               space: CellSpace = CellSpace.default)(df: DataFrame): DataFrame = {
+    require(maxLevel >= baseLevel)
+    val keyCols = Seq(col("doc_id"), col("span_idx"))
+    var active = df.select(keyCols :+ col("x") :+ col("y"): _*)
+    var settled: Option[DataFrame] = None
+    var lvl = baseLevel
+    var doneEarly = false
+    while (lvl < maxLevel && !doneEarly) {
+      val withCell = active.withColumn("__c",
+        SpatialFunctions.cellId(col("x"), col("y"), lvl, space))
+      // the over-budget cell set is small (shrinks every round) but can
+      // exceed a driver broadcast in adversarial skew — leave the join
+      // strategy to AQE; checkpoint it so semi + anti share one aggregate
+      val over = withCell.groupBy(col("__c")).agg(count(lit(1)).as("__n"))
+        .filter(col("__n") > budget).select(col("__c"))
+        .localCheckpoint()
+      val joined = withCell.join(over, Seq("__c"), "left_semi")
+        .localCheckpoint()
+      val done = withCell.join(over, Seq("__c"), "left_anti")
+        .withColumnRenamed("__c", "cell")
+        .select(keyCols :+ col("cell"): _*)
+      settled = Some(settled.map(_.unionByName(done)).getOrElse(done))
+      if (joined.isEmpty) doneEarly = true
+      else { active = joined.drop("__c"); lvl += 1 }
+    }
+    val last =
+      if (doneEarly) None
+      else Some(active
+        .withColumn("cell", SpatialFunctions.cellId(col("x"), col("y"), maxLevel, space))
+        .select(keyCols :+ col("cell"): _*))
+    val assignment = (settled.toSeq ++ last.toSeq).reduce(_ unionByName _)
+    df.join(assignment, Seq("doc_id", "span_idx"))
   }
 
   private def lvlOf(cell: Column): Column = cell.bitwiseAND(lit(63L)).cast(IntegerType)

@@ -30,9 +30,19 @@ import scala.jdk.CollectionConverters._
 object Manifest {
 
   final case class PartitionLineage(key: Long, rows: Long, digest: Long)
+
+  /** Header-level preview stats, stored in the manifest so QuickInfo can
+    * be served with ZERO jobs (the reference previews a file from its
+    * header alone — LasReader.cpp:122-140 inspect / QuickInfo.hpp:45-60;
+    * our "header" is the checkpoint manifest). */
+  final case class QuickStats(count: Long, minx: Double, maxx: Double,
+                              miny: Double, maxy: Double,
+                              minz: Double, maxz: Double)
+
   final case class StageManifest(stage: String, fingerprint: String,
                                  inputs: Seq[String],
-                                 partitions: Seq[PartitionLineage]) {
+                                 partitions: Seq[PartitionLineage],
+                                 info: Option[QuickStats] = None) {
     def totalRows: Long = partitions.map(_.rows).sum
   }
 
@@ -44,18 +54,35 @@ object Manifest {
     else pmod(xxhash64(col("doc_id")), lit(buckets)).cast(LongType)
   }
 
-  /** Compute per-partition lineage of a DataFrame: one aggregate job. */
-  def lineageOf(df: DataFrame): Seq[PartitionLineage] = {
-    val cols = df.columns.map(c => col(c).cast(StringType))
-    df.withColumn("__lk", lineageKey(df))
+  /** Compute per-partition lineage of a DataFrame — ONE aggregate job
+    * that also folds in the per-partition bbox/count when the frame has
+    * coordinates, rolled up driver-side into the manifest's QuickStats. */
+  def lineageOf(df: DataFrame): (Seq[PartitionLineage], Option[QuickStats]) = {
+    val spatial = Seq("x", "y", "z").forall(df.columns.contains)
+    val baseAggs = Seq(count(lit(1)).as("rows"),
+      expr(s"bit_xor(xxhash64(${df.columns.map(c => s"cast(`$c` as string)").mkString(", ")}))")
+        .as("digest"))
+    val bboxAggs = if (spatial)
+      Seq(min("x").as("mnx"), max("x").as("mxx"), min("y").as("mny"),
+        max("y").as("mxy"), min("z").as("mnz"), max("z").as("mxz"))
+    else Nil
+    val aggs = baseAggs ++ bboxAggs
+    val rows = df.withColumn("__lk", lineageKey(df))
       .groupBy(col("__lk"))
-      .agg(count(lit(1)).as("rows"),
-        expr(s"bit_xor(xxhash64(${df.columns.map(c => s"cast(`$c` as string)").mkString(", ")}))")
-          .as("digest"))
+      .agg(aggs.head, aggs.tail: _*)
       .collect()
+    val lineage = rows
       .map(r => PartitionLineage(r.getLong(0), r.getLong(1),
         if (r.isNullAt(2)) 0L else r.getLong(2)))
       .sortBy(_.key).toSeq
+    val info =
+      if (spatial && rows.nonEmpty)
+        Some(QuickStats(rows.map(_.getLong(1)).sum,
+          rows.map(_.getDouble(3)).min, rows.map(_.getDouble(4)).max,
+          rows.map(_.getDouble(5)).min, rows.map(_.getDouble(6)).max,
+          rows.map(_.getDouble(7)).min, rows.map(_.getDouble(8)).max))
+      else None
+    (lineage, info)
   }
 
   // ---- JSON (hand-rolled: flat, stable ordering, no extra deps) ----
@@ -63,12 +90,20 @@ object Manifest {
     val parts = m.partitions.map(p =>
       s"""{"key":${p.key},"rows":${p.rows},"digest":${p.digest}}""").mkString("[", ",", "]")
     val inputs = m.inputs.map(i => "\"" + i + "\"").mkString("[", ",", "]")
+    val info = m.info.map(q =>
+      s""","info":{"count":${q.count},"minx":${q.minx},"maxx":${q.maxx},"miny":${q.miny},"maxy":${q.maxy},"minz":${q.minz},"maxz":${q.maxz}}""")
+      .getOrElse("")
     s"""{"stage":"${m.stage}","fingerprint":"${m.fingerprint}","inputs":$inputs,
-       |"totalRows":${m.totalRows},"partitions":$parts}""".stripMargin.replace("\n", "")
+       |"totalRows":${m.totalRows}$info,"partitions":$parts}""".stripMargin.replace("\n", "")
   }
 
   private val KeyRe = """"(stage|fingerprint)":"([^"]*)"""".r
   private val PartRe = """\{"key":(-?\d+),"rows":(\d+),"digest":(-?\d+)\}""".r
+  private val D = """(-?[\d.eE+]+|Infinity|-Infinity|NaN)"""
+  private val InfoRe =
+    (""""info":\{"count":(\d+),"minx":""" + D + ""","maxx":""" + D +
+      ""","miny":""" + D + ""","maxy":""" + D +
+      ""","minz":""" + D + ""","maxz":""" + D + """\}""").r
 
   def fromJson(s: String): StageManifest = {
     val kv = KeyRe.findAllMatchIn(s).map(m => m.group(1) -> m.group(2)).toMap
@@ -78,7 +113,10 @@ object Manifest {
     val parts = PartRe.findAllMatchIn(s)
       .map(m => PartitionLineage(m.group(1).toLong, m.group(2).toLong, m.group(3).toLong))
       .toSeq
-    StageManifest(kv.getOrElse("stage", ""), kv.getOrElse("fingerprint", ""), inputs, parts)
+    val info = InfoRe.findFirstMatchIn(s).map(m => QuickStats(m.group(1).toLong,
+      m.group(2).toDouble, m.group(3).toDouble, m.group(4).toDouble,
+      m.group(5).toDouble, m.group(6).toDouble, m.group(7).toDouble))
+    StageManifest(kv.getOrElse("stage", ""), kv.getOrElse("fingerprint", ""), inputs, parts, info)
   }
 
   def write(root: String, m: StageManifest): Unit = {
@@ -98,8 +136,8 @@ object Manifest {
                  inputs: Seq[String], df: DataFrame): StageManifest = {
     val dataDir = s"$root/$stage/data"
     df.write.mode("overwrite").parquet(dataDir)
-    val lineage = lineageOf(df.sparkSession.read.parquet(dataDir))
-    val m = StageManifest(stage, fingerprint, inputs, lineage)
+    val (lineage, info) = lineageOf(df.sparkSession.read.parquet(dataDir))
+    val m = StageManifest(stage, fingerprint, inputs, lineage, info)
     write(root, m)
     m
   }
@@ -111,4 +149,16 @@ object Manifest {
 
   def readData(spark: SparkSession, root: String, stage: String): DataFrame =
     spark.read.parquet(s"$root/$stage/data")
+
+  /** `pdal info`-style preview served from the manifest alone — NO Spark
+    * job touches the data (the reference's header-only inspect,
+    * LasReader.cpp:122-140). Returns None when the stage has no manifest
+    * or the manifest predates coordinate stats; callers then fall back to
+    * the scan path (InfoOps.quickInfo). */
+  def quickInfo(spark: SparkSession, root: String, stage: String): Option[DataFrame] =
+    read(root, stage).flatMap(_.info).map { q =>
+      import spark.implicits._
+      Seq((q.count, q.minx, q.maxx, q.miny, q.maxy, q.minz, q.maxz))
+        .toDF("count", "minx", "maxx", "miny", "maxy", "minz", "maxz")
+    }
 }

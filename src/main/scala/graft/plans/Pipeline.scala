@@ -6,7 +6,7 @@ import org.json4s._
 import org.json4s.jackson.JsonMethods
 
 import graft.operators._
-import graft.sources.{DocSynth, Faux, LasDecode}
+import graft.sources.{DocSynth, Faux, LasDecode, LasWriter}
 import graft.model.Model
 import graft.index.CellSpace
 
@@ -168,7 +168,7 @@ object Pipeline {
           st.dbl("multiplier").getOrElse(2.0), st.int("level").getOrElse(6),
           space(st))(in.get)
       case "filters.merge" =>
-        in.get // n-ary merge handled by the runner (union of branch outputs)
+        in.get // n-ary merge handled by the runner (union of its inputs)
       case "filters.lod" =>
         TileOps.lodPyramid(st.int("max_level").getOrElse(4), space(st),
           st.str("ordinal").getOrElse("span_idx"))(in.get)
@@ -210,6 +210,20 @@ object Pipeline {
         val w = d.write.mode("overwrite")
         (if (byTile.nonEmpty) w.partitionBy(byTile: _*) else w).parquet(st.str("path").get)
         d
+      case "writers.las" =>
+        val d = in.get
+        val fmt = st.int("format").getOrElse(3)
+        val xf = (st.dbls("scale"), st.dbls("offset")) match {
+          case (Some(s), Some(o)) => LasWriter.XForms(s(0), s(1), s(2), o(0), o(1), o(2))
+          case _ =>
+            // auto mode: offset = data min, scale = range / int32 max
+            // (reference src/Writer.cpp:86-148 setAutoXForm)
+            val a = Quantize.autoXForm(d, Seq("x", "y", "z"))
+            LasWriter.XForms(a("x").scale, a("y").scale, a("z").scale,
+              a("x").offset, a("y").offset, a("z").offset)
+        }
+        LasWriter.write(st.str("path").get, d, fmt, xf)
+        d
       case "writers.csv" =>
         val d = in.get
         d.write.mode("overwrite").option("header", "true").csv(st.str("path").get)
@@ -233,35 +247,69 @@ object Pipeline {
   final case class RunResult(df: DataFrame, resumedStages: Seq[String],
                              ranStages: Seq[String])
 
-  /** Execute a pipeline spec. With a checkpoint root, stages marked
-    * `"checkpoint": true` (or writers) persist output + lineage; on
-    * re-run, the longest prefix of stages whose fingerprints match
-    * resumes from its checkpoint instead of recomputing. */
+  /** Execute a pipeline spec — a DAG, not just a chain. Stages may carry
+    * a `"tag"` and reference earlier tags via `"inputs": [tag, ...]`
+    * (the reference's multi-input stage graph, src/PipelineReader.cpp:
+    * 362,440 setInput loops; kernels/merge/MergeKernel.cpp). A stage
+    * without explicit inputs consumes the previous stage's output;
+    * `filters.merge` unions ALL its inputs (n-ary).
+    *
+    * Fingerprints are content-addressed per stage: md5(own config +
+    * every input's fingerprint) — any upstream edit invalidates exactly
+    * the downstream cone. With a checkpoint root, stages marked
+    * `"checkpoint": true` (and writers) persist output + lineage; a
+    * re-run resumes every stage whose fingerprint still matches. A
+    * resumed WRITER additionally re-verifies its external destination
+    * and re-runs if the destination has been deleted out from under the
+    * checkpoint (the checkpoint proves the work, not the side effect). */
   def run(spark: SparkSession, specJson: String): RunResult = {
     val (stages, ckRoot) = parse(specJson)
     require(stages.nonEmpty, "empty pipeline")
-    var df: Option[DataFrame] = None
-    var fingerprint = ""
+    var prev: Option[(DataFrame, String)] = None
+    val byTag = scala.collection.mutable.Map.empty[String, (DataFrame, String)]
     var resumed = Vector.empty[String]
     var ran = Vector.empty[String]
     stages.zipWithIndex.foreach { case (st, i) =>
       val stageId = f"$i%03d_${st.typ.replace('.', '_')}"
-      fingerprint = md5Hex(fingerprint + st.fingerprintSource)
+      // json4s extracts a MISSING array field as Some(Nil) — only a
+      // present, non-empty "inputs" array is an explicit input list
+      val explicitInputs = (st.config \ "inputs") match {
+        case JArray(tags) if tags.nonEmpty => st.strs("inputs")
+        case _ => None
+      }
+      val inputs: Seq[(DataFrame, String)] = explicitInputs match {
+        case Some(tags) => tags.map(t => byTag.getOrElse(t,
+          throw new IllegalArgumentException(s"stage $stageId references unknown tag '$t'")))
+        case None => if (st.typ.startsWith("readers.")) Nil else prev.toSeq
+      }
+      val fingerprint = md5Hex(inputs.map(_._2).mkString("|") + st.fingerprintSource)
       val wantCk = ckRoot.isDefined &&
         (st.bool("checkpoint").getOrElse(false) || st.typ.startsWith("writers."))
-      if (wantCk && Manifest.resumable(ckRoot.get, stageId, fingerprint)) {
-        df = Some(Manifest.readData(spark, ckRoot.get, stageId))
-        resumed :+= stageId
-      } else {
-        df = Some(build(spark, st)(df))
-        if (wantCk) {
-          Manifest.checkpoint(ckRoot.get, stageId, fingerprint,
-            if (i > 0) Seq(f"${i - 1}%03d") else Nil, df.get)
-          df = Some(Manifest.readData(spark, ckRoot.get, stageId))
+      // a resumed writer whose declared output path no longer exists must
+      // re-run — resuming would report success with no output materialized
+      val destinationIntact = !st.typ.startsWith("writers.") ||
+        st.str("path").forall(p => java.nio.file.Files.exists(java.nio.file.Paths.get(p)))
+      val df =
+        if (wantCk && Manifest.resumable(ckRoot.get, stageId, fingerprint) && destinationIntact) {
+          resumed :+= stageId
+          Manifest.readData(spark, ckRoot.get, stageId)
+        } else {
+          var out = st.typ match {
+            case "filters.merge" if inputs.size > 1 =>
+              inputs.map(_._1).reduce(_ unionByName _)
+            case _ => build(spark, st)(inputs.headOption.map(_._1))
+          }
+          if (wantCk) {
+            Manifest.checkpoint(ckRoot.get, stageId, fingerprint,
+              explicitInputs.getOrElse(if (i > 0) Seq(f"${i - 1}%03d") else Nil), out)
+            out = Manifest.readData(spark, ckRoot.get, stageId)
+          }
+          ran :+= stageId
+          out
         }
-        ran :+= stageId
-      }
+      st.str("tag").foreach(t => byTag(t) = (df, fingerprint))
+      prev = Some((df, fingerprint))
     }
-    RunResult(df.get, resumed, ran)
+    RunResult(prev.get._1, resumed, ran)
   }
 }

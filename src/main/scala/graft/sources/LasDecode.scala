@@ -5,12 +5,23 @@ import java.nio.file.{Files, Paths}
 import org.apache.spark.sql.{DataFrame, SparkSession, Row}
 import org.apache.spark.sql.types._
 
-/** Minimal LAS 1.0-1.2 point decoder (point record formats 0-3), from the
-  * public ASPRS LAS specification; field layout cross-checked against the
-  * reference's record decode (io/las/LasReader.cpp:651-720 loadPointV10:
-  * int32 x,y,z scaled+offset, u16 intensity, flag byte, classification,
-  * i8 scan angle, u8 user data, u16 point source id, then f64 gps time
-  * [fmt 1,3], 3x u16 rgb [fmt 2,3]).
+/** LAS 1.0-1.4 point decoder (point record formats 0-10), from the public
+  * ASPRS LAS specification; field layout cross-checked against the
+  * reference's record decode:
+  *  - formats 0-5 (io/las/LasReader.cpp:651-720 loadPoint/loadPointV10:
+  *    int32 x,y,z scaled+offset, u16 intensity, flag byte (return 3 bits,
+  *    #returns 3 bits, scan dir, edge), classification, i8 scan angle,
+  *    u8 user data, u16 point source id, then f64 gps time [fmt 1,3,4,5],
+  *    3x u16 rgb [fmt 2,3,5]; wave packets [fmt 4,5] skipped)
+  *  - formats 6-10 (io/las/LasReader.cpp:722-788 loadPointV14: int32
+  *    x,y,z, u16 intensity, returns byte (4+4 bits), flags byte (class
+  *    flags 4, scanner channel 2, scan dir 1, edge 1), u8 classification,
+  *    u8 user data, i16 scan angle * 0.006 deg, u16 point source id,
+  *    f64 gps time, rgb [fmt 7,8,10], u16 NIR [fmt 8,10])
+  *  - header (io/las/LasHeader.cpp:200-255): legacy u32 count at 107;
+  *    1.3+ adds the waveform offset; 1.4 stores the real u64 count at
+  *    byte 247 and 15 u64 per-return counts; point-format byte masks
+  *    off the two laszip compression bits (~0xC0).
   *
   * Purpose: decoding the reference's small golden fixtures (P1065 =
   * test/data/las/1.2-with-color.las) into the engine's point frame for
@@ -28,16 +39,32 @@ object LasDecode {
     bb.order(ByteOrder.LITTLE_ENDIAN)
     require(bb.get(0) == 'L' && bb.get(1) == 'A' && bb.get(2) == 'S' && bb.get(3) == 'F',
       "not a LAS file")
+    val minor = bb.get(25) & 0xff
+    // the two high bits of the format byte flag laszip compression
+    // (LasHeader.cpp:222-226); mask them off like the reference
+    val fmt = bb.get(104) & 0x3f
+    val legacyCount = bb.getInt(107) & 0xffffffffL
+    // LAS 1.4: the authoritative u64 count lives at byte 247 (legacy u32
+    // is zero when the cloud exceeds u32 or uses formats 6+)
+    val count =
+      if (minor >= 4) { val c = bb.getLong(247); if (c != 0) c else legacyCount }
+      else legacyCount
     LasHeader(
-      versionMajor = bb.get(24) & 0xff, versionMinor = bb.get(25) & 0xff,
-      pointFormat = bb.get(104) & 0xff, recordLen = bb.getShort(105) & 0xffff,
-      pointCount = bb.getInt(107) & 0xffffffffL, dataOffset = bb.getInt(96) & 0xffffffffL,
+      versionMajor = bb.get(24) & 0xff, versionMinor = minor,
+      pointFormat = fmt, recordLen = bb.getShort(105) & 0xffff,
+      pointCount = count, dataOffset = bb.getInt(96) & 0xffffffffL,
       sx = bb.getDouble(131), sy = bb.getDouble(139), sz = bb.getDouble(147),
       ox = bb.getDouble(155), oy = bb.getDouble(163), oz = bb.getDouble(171),
       maxx = bb.getDouble(179), minx = bb.getDouble(187),
       maxy = bb.getDouble(195), miny = bb.getDouble(203),
       maxz = bb.getDouble(211), minz = bb.getDouble(219))
   }
+
+  /** Capability predicates by point format (LasHeader.hpp:310-333). */
+  def hasTime(fmt: Int): Boolean = fmt == 1 || (fmt >= 3 && fmt <= 5) || fmt >= 6
+  def hasColor(fmt: Int): Boolean = fmt == 2 || fmt == 3 || fmt == 5 || fmt == 7 || fmt == 8 || fmt == 10
+  def hasInfrared(fmt: Int): Boolean = fmt == 8 || fmt == 10
+  def isV14(fmt: Int): Boolean = fmt >= 6
 
   val schema: StructType = StructType(Seq(
     StructField("doc_id", StringType, nullable = false),
@@ -55,39 +82,67 @@ object LasDecode {
     StructField("gps_time", DoubleType, nullable = false),
     StructField("red", IntegerType, nullable = false),
     StructField("green", IntegerType, nullable = false),
-    StructField("blue", IntegerType, nullable = false)))
+    StructField("blue", IntegerType, nullable = false),
+    StructField("nir", IntegerType, nullable = false),
+    StructField("scanner_channel", ShortType, nullable = false)))
 
   def readPoints(path: String, docId: String = "las"): (LasHeader, Vector[Row]) = {
     val bytes = Files.readAllBytes(Paths.get(path))
     val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
     val h = readHeader(bb)
-    require(h.pointFormat <= 3, s"unsupported point format ${h.pointFormat}")
+    require(h.pointFormat <= 10, s"unsupported point format ${h.pointFormat}")
     val rows = Vector.newBuilder[Row]
     var i = 0L
     while (i < h.pointCount) {
       val base = (h.dataOffset + i * h.recordLen).toInt
-      val xi = bb.getInt(base); val yi = bb.getInt(base + 4); val zi = bb.getInt(base + 8)
-      val intensity = bb.getShort(base + 12) & 0xffff
-      val flags = bb.get(base + 14) & 0xff
-      val cls = bb.get(base + 15) & 0xff
-      val angle = bb.get(base + 16).toFloat // i8, degrees
-      val user = bb.get(base + 17) & 0xff
-      val psid = bb.getShort(base + 18) & 0xffff
-      var off = base + 20
-      val gps = if (h.pointFormat == 1 || h.pointFormat == 3) {
-        val g = bb.getDouble(off); off += 8; g
-      } else 0.0
-      val (r, g2, b) = if (h.pointFormat == 2 || h.pointFormat == 3) {
-        (bb.getShort(off) & 0xffff, bb.getShort(off + 2) & 0xffff, bb.getShort(off + 4) & 0xffff)
-      } else (0, 0, 0)
-      rows += Row(docId, i.toInt,
-        xi * h.sx + h.ox, yi * h.sy + h.oy, zi * h.sz + h.oz,
-        intensity,
-        (flags & 0x7).toShort, ((flags >> 3) & 0x7).toShort,
-        cls.toShort, angle, user.toShort, psid, gps, r, g2, b)
+      rows += decodeRecord(bb, base, h, docId, i.toInt)
       i += 1
     }
     (h, rows.result())
+  }
+
+  /** One point record -> one Row (schema above). */
+  def decodeRecord(bb: ByteBuffer, base: Int, h: LasHeader,
+                   docId: String, idx: Int): Row = {
+    val fmt = h.pointFormat
+    val xi = bb.getInt(base); val yi = bb.getInt(base + 4); val zi = bb.getInt(base + 8)
+    val intensity = bb.getShort(base + 12) & 0xffff
+    val x = xi * h.sx + h.ox; val y = yi * h.sy + h.oy; val z = zi * h.sz + h.oz
+    if (!isV14(fmt)) {
+      val flags = bb.get(base + 14) & 0xff
+      val cls = bb.get(base + 15) & 0xff
+      val angle = bb.get(base + 16).toFloat // i8, whole degrees
+      val user = bb.get(base + 17) & 0xff
+      val psid = bb.getShort(base + 18) & 0xffff
+      var off = base + 20
+      val gps = if (hasTime(fmt)) { val g = bb.getDouble(off); off += 8; g } else 0.0
+      val (r, g2, b) = if (hasColor(fmt)) {
+        (bb.getShort(off) & 0xffff, bb.getShort(off + 2) & 0xffff, bb.getShort(off + 4) & 0xffff)
+      } else (0, 0, 0)
+      // fmt 4/5 wave packet descriptors follow — skipped (vendor laszip
+      // territory in the reference too)
+      Row(docId, idx, x, y, z, intensity,
+        (flags & 0x7).toShort, ((flags >> 3) & 0x7).toShort,
+        cls.toShort, angle, user.toShort, psid, gps, r, g2, b, 0, 0.toShort)
+    } else {
+      val returnInfo = bb.get(base + 14) & 0xff
+      val flags = bb.get(base + 15) & 0xff
+      val cls = bb.get(base + 16) & 0xff
+      val user = bb.get(base + 17) & 0xff
+      val angle = (bb.getShort(base + 18) * 0.006).toFloat // i16 * 0.006 deg
+      val psid = bb.getShort(base + 20) & 0xffff
+      val gps = bb.getDouble(base + 22)
+      var off = base + 30
+      val (r, g2, b) = if (hasColor(fmt)) {
+        val c = (bb.getShort(off) & 0xffff, bb.getShort(off + 2) & 0xffff, bb.getShort(off + 4) & 0xffff)
+        off += 6; c
+      } else (0, 0, 0)
+      val nir = if (hasInfrared(fmt)) { val n = bb.getShort(off) & 0xffff; off += 2; n } else 0
+      Row(docId, idx, x, y, z, intensity,
+        (returnInfo & 0xf).toShort, ((returnInfo >> 4) & 0xf).toShort,
+        cls.toShort, angle, user.toShort, psid, gps, r, g2, b, nir,
+        ((flags >> 4) & 0x3).toShort)
+    }
   }
 
   def asDataFrame(spark: SparkSession, path: String, docId: String = "las"): DataFrame = {

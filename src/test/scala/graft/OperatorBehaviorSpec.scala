@@ -191,6 +191,26 @@ class OperatorBehaviorSpec extends AnyFunSuite {
       .exceptAll(out2.select("doc_id", "span_idx", "cell")).isEmpty)
   }
 
+  test("distributed adaptive cells match the driver-histogram path and scale to deep ladders") {
+    val dense = Faux.uniform(spark, Faux.Box3(0, 0, 0, 50, 50, 1), 20000, seed = 9, "dense")
+    val sparse = Faux.uniform(spark, Faux.Box3(0, 0, 0, 1000, 1000, 1), 2000, seed = 10, "sparse")
+    val df = dense.unionByName(sparse)
+    // identical assignment to the collect-based path at moderate depth
+    val driver = SkewOps.adaptiveCells(budget = 1000, baseLevel = 2, maxLevel = 8)(df)
+      .select("doc_id", "span_idx", "cell")
+    val dist = SkewOps.adaptiveCellsDistributed(budget = 1000, baseLevel = 2, maxLevel = 8)(df)
+      .select("doc_id", "span_idx", "cell")
+    assert(driver.exceptAll(dist).isEmpty && dist.exceptAll(driver).isEmpty)
+    // deep ladder (maxLevel 14 routes through the distributed path via
+    // adaptiveCells itself): budget respected below max level
+    val deep = SkewOps.adaptiveCells(budget = 500, baseLevel = 2, maxLevel = 14)(df)
+    val counts = deep.groupBy("cell").count()
+    val over = counts.filter(col("count") > 500)
+      .filter((col("cell").bitwiseAND(lit(63L))) < 14)
+    assert(over.count() === 0, "non-max-level cell over budget in deep ladder")
+    assert(deep.count() === 22000)
+  }
+
   test("salted aggregation equals direct aggregation") {
     val df = Faux.uniform(spark, Faux.Box3(0, 0, 0, 100, 100, 100), 5000, seed = 21)
     // double sums are compared rounded: a salted (two-stage) aggregation

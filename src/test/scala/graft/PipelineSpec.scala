@@ -58,14 +58,90 @@ class PipelineSpec extends AnyFunSuite {
     assert(m.totalRows === spark.read.parquet(s"$ck/001_filters_range/data").count())
   }
 
+  test("multi-input DAG: two tagged readers merge n-ary through checkpoint and resume") {
+    val ck = tmp(); val outP = tmp() + "/out"
+    val spec =
+      s"""{ "pipeline": [
+         |  {"type": "readers.faux", "mode": "ramp", "tag": "a",
+         |   "bounds": [0, 0, 0, 10, 10, 10], "count": 100},
+         |  {"type": "readers.faux", "mode": "ramp", "tag": "b",
+         |   "bounds": [20, 20, 20, 30, 30, 30], "count": 50},
+         |  {"type": "filters.merge", "inputs": ["a", "b"], "checkpoint": true},
+         |  {"type": "writers.parquet", "path": "$outP"}
+         |], "checkpoint_root": "$ck" }""".stripMargin
+    val first = Pipeline.run(spark, spec)
+    assert(first.resumedStages.isEmpty)
+    assert(first.df.count() === 150)
+    // both branches survive the union (distinct coordinate ranges)
+    assert(first.df.filter(col("x") <= 10).count() === 100)
+    assert(first.df.filter(col("x") >= 20).count() === 50)
+    // resume: merge + writer come back from their checkpoints
+    val second = Pipeline.run(spark, spec)
+    assert(second.resumedStages === Seq("002_filters_merge", "003_writers_parquet"))
+    assert(second.df.count() === 150)
+    // editing ONE branch invalidates the downstream cone
+    val third = Pipeline.run(spark, spec.replace("\"count\": 50", "\"count\": 60"))
+    assert(third.resumedStages.isEmpty)
+    assert(third.df.count() === 160)
+  }
+
+  test("resumed writer re-runs when its destination was deleted") {
+    val ck = tmp(); val outP = tmp() + "/out"
+    val spec =
+      s"""{ "pipeline": [
+         |  {"type": "readers.faux", "mode": "ramp",
+         |   "bounds": [0, 0, 0, 10, 10, 10], "count": 100},
+         |  {"type": "writers.parquet", "path": "$outP"}
+         |], "checkpoint_root": "$ck" }""".stripMargin
+    Pipeline.run(spark, spec)
+    assert(spark.read.parquet(outP).count() === 100)
+    // delete the external destination; the checkpoint alone must not
+    // count as "done" — the writer re-runs and rematerializes it
+    def rm(p: java.nio.file.Path): Unit = {
+      if (java.nio.file.Files.isDirectory(p))
+        java.nio.file.Files.list(p).forEach(rm)
+      java.nio.file.Files.delete(p)
+    }
+    rm(java.nio.file.Paths.get(outP))
+    val again = Pipeline.run(spark, spec)
+    assert(again.ranStages.contains("001_writers_parquet"),
+      s"writer should re-run, got resumed=${again.resumedStages}")
+    assert(spark.read.parquet(outP).count() === 100)
+  }
+
   test("manifest digests detect partition corruption") {
     val ck = tmp()
     val df = sources.Faux.ramp(spark, sources.Faux.Box3(0, 0, 0, 10, 10, 10), 100)
     val m = Manifest.checkpoint(ck, "s0", "fp0", Nil, df)
-    val reread = Manifest.lineageOf(Manifest.readData(spark, ck, "s0"))
+    val (reread, info) = Manifest.lineageOf(Manifest.readData(spark, ck, "s0"))
     assert(reread === m.partitions)
+    assert(info === m.info && info.exists(_.count === 100))
     val json = Manifest.toJson(m)
     assert(Manifest.fromJson(json) === m)
+  }
+
+  test("quickInfo is served from the manifest with zero Spark jobs") {
+    val ck = tmp()
+    val df = sources.Faux.ramp(spark, sources.Faux.Box3(1, 2, 3, 11, 12, 13), 500)
+    Manifest.checkpoint(ck, "qi", "fp0", Nil, df)
+    // the scan-path answer, for value comparison
+    val scan = operators.InfoOps.quickInfo(Manifest.readData(spark, ck, "qi")).head()
+    var jobs = 0
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs += 1
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val qi = Manifest.quickInfo(spark, ck, "qi").get
+      val r = qi.head() // local one-row DataFrame — no job expected
+      Thread.sleep(200) // let any (unexpected) job-start event arrive
+      assert(jobs === 0, s"quickInfo ran $jobs Spark jobs")
+      assert(r.getLong(0) === scan.getLong(0))
+      assert(r.getDouble(1) === scan.getDouble(1) && r.getDouble(2) === scan.getDouble(2))
+      assert(r.getDouble(3) === scan.getDouble(3) && r.getDouble(4) === scan.getDouble(4))
+      assert(r.getDouble(5) === scan.getDouble(5) && r.getDouble(6) === scan.getDouble(6))
+    } finally spark.sparkContext.removeSparkListener(listener)
   }
 
   test("span-sequence invariant holds through a filtering pipeline") {
