@@ -271,6 +271,85 @@ object Model {
         element_at(col("ps"), col("i") + 1).cast(DoubleType).as("gps_time"))
   }
 
+  /** Third physical layout: BYTE-major (reference BpfReader.cpp:248-253
+    * DIM_POINT_MAJOR / POINT_MAJOR / BYTE_MAJOR — this is the third).
+    * Each dimension's values are transposed into base-256 byte planes:
+    * plane b holds byte b (little-endian) of every value, so a span
+    * carries dims x planes comma-lists (';'-separated). The payload ints
+    * all fit u32, so 4 planes per dimension. Decodes to the same point
+    * frame as the other two layouts (codec-equality spec). */
+  private val BytePlanes = 4
+  private val ByteMajorDims = Seq("xi", "yi", "zi", "intensity", "pid", "span_idx")
+
+  def toByteMajor(docs: DataFrame): DataFrame = {
+    val pts = explodePoints(docs)
+    val gathered = pts
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(struct(col("span_idx"),
+        (col("x") / Scale).cast(LongType).as("xi"),
+        (col("y") / Scale).cast(LongType).as("yi"),
+        (col("z") / Scale).cast(LongType).as("zi"),
+        col("intensity").cast(LongType).as("intensity"),
+        col("gps_time").cast(LongType).as("pid"),
+        col("span_idx").cast(LongType).as("span_idx_v")))).as("ps"))
+    // dims x planes lists: value byte b = (v >> 8b) & 255
+    val planeLists = ByteMajorDims.flatMap { d =>
+      val field = if (d == "span_idx") "span_idx_v" else d
+      (0 until BytePlanes).map { b =>
+        concat_ws(",", transform(col("ps"), p =>
+          shiftright(p.getField(field), 8 * b).bitwiseAND(lit(255L)).cast(StringType)))
+      }
+    }
+    val byteSpans = gathered.select(col("doc_id"), lit("points_bytemajor").as("kind"),
+      concat_ws(";", planeLists: _*).as("text"), lit("").as("media_ref"),
+      element_at(col("ps"), 1).getField("span_idx").as("offset"))
+    val nonPoint = docs
+      .select(col("doc_id"), explode(col("spans")).as("s"))
+      .filter(col("s.kind") =!= "point")
+      .select(col("doc_id"), col("s.kind").as("kind"), col("s.text").as("text"),
+        col("s.media_ref").as("media_ref"), col("s.offset").as("offset"))
+    nonPoint.unionByName(byteSpans)
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(struct(
+        col("offset"), col("kind"), col("text"), col("media_ref")))).as("ordered"))
+      .select(col("doc_id"),
+        transform(col("ordered"), s => struct(
+          s.getField("kind").as("kind"), s.getField("text").as("text"),
+          s.getField("media_ref").as("media_ref"), s.getField("offset").as("offset")))
+          .as("spans"))
+  }
+
+  /** Decode byte-major point spans to the SAME flat point frame. */
+  def explodePointsByteMajor(docs: DataFrame): DataFrame = {
+    val sp = docs
+      .select(col("doc_id"), explode(col("spans")).as("s"))
+      .filter(col("s.kind") === "points_bytemajor")
+    val lists = split(col("s.text"), ";")
+    // reassemble each dim: v = sum_b plane_b << 8b
+    def dimCol(dimIdx: Int): Column = {
+      val planes = (0 until BytePlanes).map { b =>
+        split(lists.getItem(dimIdx * BytePlanes + b), ",")
+      }
+      // materialized per-row below via element_at over the exploded index
+      struct(planes.zipWithIndex.map { case (p, b) => p.as(s"b$b") }: _*)
+    }
+    val withDims = sp.select(col("doc_id") +:
+      ByteMajorDims.zipWithIndex.map { case (d, i) => dimCol(i).as(s"__$d") }: _*)
+    def valueAt(d: String, i: Column): Column =
+      (0 until BytePlanes).map { b =>
+        shiftleft(element_at(col(s"__$d").getField(s"b$b"), i).cast(LongType), 8 * b)
+      }.reduce(_ + _)
+    withDims
+      .withColumn("__i", explode(transform(col("__xi").getField("b0"), (_, idx) => idx)))
+      .select(col("doc_id"),
+        valueAt("span_idx", col("__i") + 1).cast(IntegerType).as("span_idx"),
+        (valueAt("xi", col("__i") + 1) * Scale).as("x"),
+        (valueAt("yi", col("__i") + 1) * Scale).as("y"),
+        (valueAt("zi", col("__i") + 1) * Scale).as("z"),
+        valueAt("intensity", col("__i") + 1).cast(IntegerType).as("intensity"),
+        valueAt("pid", col("__i") + 1).cast(DoubleType).as("gps_time"))
+  }
+
   /** Canonical string rendering of a document's span sequence — the
     * comparator used by the span-sequence-equality gate (robust to
     * struct-hashing differences between engines). */

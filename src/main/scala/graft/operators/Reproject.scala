@@ -178,6 +178,12 @@ object Proj {
     utmToGeo(e, n, zone, northern)._1
   def utmToGeoY(e: Double, n: Double, zone: Int, northern: Boolean): Double =
     utmToGeo(e, n, zone, northern)._2
+  def geoToUtmX(lon: Double, lat: Double, zone: Int, northern: Boolean): Double =
+    geoToUtm(lon, lat, zone, northern)._1
+  def geoToUtmY(lon: Double, lat: Double, zone: Int, northern: Boolean): Double =
+    geoToUtm(lon, lat, zone, northern)._2
+  def lccFwdX(lon: Double, lat: Double, p: Lcc2SP): Double = p.forward(lon, lat)._1
+  def lccFwdY(lon: Double, lat: Double, p: Lcc2SP): Double = p.forward(lon, lat)._2
 }
 
 /** Reprojected coordinate expression: applies a named transform to (x, y).
@@ -226,6 +232,47 @@ case class LccToGeo(left: Expression, right: Expression, params: Proj.Lcc2SP, wh
     copy(left = l, right = r)
 }
 
+/** Geographic -> UTM forward (Karney series, the inverse's twin). */
+case class GeoToUtm(left: Expression, right: Expression, zone: Int,
+                    northern: Boolean, which: Int)
+    extends BinaryExpression with Serializable {
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "geo_to_utm"
+  override protected def nullSafeEval(x: Any, y: Any): Any = {
+    val (e, n) = Proj.geoToUtm(x.asInstanceOf[Double], y.asInstanceOf[Double], zone, northern)
+    if (which == 0) e else n
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, y) =>
+      if (which == 0)
+        s"${ev.value} = graft.operators.Proj.geoToUtmX($x, $y, $zone, $northern);"
+      else
+        s"${ev.value} = graft.operators.Proj.geoToUtmY($x, $y, $zone, $northern);")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** Geographic -> LCC 2SP forward (Snyder). */
+case class GeoToLcc(left: Expression, right: Expression, params: Proj.Lcc2SP, which: Int)
+    extends BinaryExpression with Serializable {
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "geo_to_lcc"
+  override protected def nullSafeEval(x: Any, y: Any): Any = {
+    val (e, n) = params.forward(x.asInstanceOf[Double], y.asInstanceOf[Double])
+    if (which == 0) e else n
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val p = ctx.addReferenceObj("lcc", params, classOf[Proj.Lcc2SP].getName)
+    nullSafeCodeGen(ctx, ev, (x, y) =>
+      if (which == 0) s"${ev.value} = graft.operators.Proj.lccFwdX($x, $y, $p);"
+      else s"${ev.value} = graft.operators.Proj.lccFwdY($x, $y, $p);")
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 object Reproject {
   import ExpressionUtils.{column => toCol, expression => toExpr}
 
@@ -237,11 +284,26 @@ object Reproject {
     df.withColumns(Map("x" -> lon, "y" -> lat))
   }
 
+  /** Geographic degrees -> UTM (forward; round-trips with [[utmToGeo]]
+    * to sub-mm — spec-pinned). */
+  def geoToUtm(zone: Int, northern: Boolean = true)(df: DataFrame): DataFrame = {
+    val e = toCol(GeoToUtm(toExpr(col("x")), toExpr(col("y")), zone, northern, 0))
+    val n = toCol(GeoToUtm(toExpr(col("x")), toExpr(col("y")), zone, northern, 1))
+    df.withColumns(Map("x" -> e, "y" -> n))
+  }
+
   /** Lambert Conformal Conic (2SP) -> geographic degrees. */
   def lccToGeo(params: Proj.Lcc2SP)(df: DataFrame): DataFrame = {
     val lon = toCol(LccToGeo(toExpr(col("x")), toExpr(col("y")), params, 0))
     val lat = toCol(LccToGeo(toExpr(col("x")), toExpr(col("y")), params, 1))
     df.withColumns(Map("x" -> lon, "y" -> lat))
+  }
+
+  /** Geographic degrees -> LCC 2SP (forward). */
+  def geoToLcc(params: Proj.Lcc2SP)(df: DataFrame): DataFrame = {
+    val e = toCol(GeoToLcc(toExpr(col("x")), toExpr(col("y")), params, 0))
+    val n = toCol(GeoToLcc(toExpr(col("x")), toExpr(col("y")), params, 1))
+    df.withColumns(Map("x" -> e, "y" -> n))
   }
 
   private val R = 6378137.0

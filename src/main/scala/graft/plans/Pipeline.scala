@@ -151,6 +151,10 @@ object Pipeline {
             Reproject.utmToGeo(z)(in.get)
           case ("lcc:oregon-ft", "EPSG:4326") =>
             Reproject.lccToGeo(Proj.OregonLambertFeet)(in.get)
+          case ("EPSG:4326", out_srs) if out_srs.startsWith("utm:") =>
+            Reproject.geoToUtm(out_srs.stripPrefix("utm:").toInt)(in.get)
+          case ("EPSG:4326", "lcc:oregon-ft") =>
+            Reproject.geoToLcc(Proj.OregonLambertFeet)(in.get)
           case ("EPSG:3857", "EPSG:4326") => Reproject.webMercatorToGeo(in.get)
           case ("EPSG:4326", "EPSG:3857") => Reproject.geoToWebMercator(in.get)
           case (i, o) => throw new IllegalArgumentException(s"reprojection $i -> $o")

@@ -211,6 +211,31 @@ class OperatorBehaviorSpec extends AnyFunSuite {
     assert(deep.count() === 22000)
   }
 
+  test("forward reprojections round-trip their inverses (UTM + LCC, via pipeline stages)") {
+    // a lon/lat grid over UTM zone 10 / Oregon
+    val geo = spark.range(0, 400).selectExpr(
+      "cast(id as string) as doc_id", "cast(id as int) as span_idx",
+      "cast(-124.0 + (id % 20) * 0.1 as double) as x",
+      "cast(42.0 + cast(id / 20 as int) * 0.1 as double) as y",
+      "cast(0.0 as double) as z")
+    def maxErr(df: org.apache.spark.sql.DataFrame): Double = df
+      .join(geo.select(col("span_idx"), col("x").as("x0"), col("y").as("y0")), "span_idx")
+      .selectExpr("greatest(abs(x - x0), abs(y - y0)) as e")
+      .agg(max("e")).head().getDouble(0)
+    // geo -> utm -> geo (through the declarative stage strings)
+    val utm = graft.plans.Pipeline.build(spark, graft.plans.Pipeline.parse(
+      """{"pipeline":[{"type":"filters.reprojection","in_srs":"EPSG:4326","out_srs":"utm:10"}]}""")
+      ._1.head)(Some(geo))
+    val backUtm = Reproject.utmToGeo(10)(utm)
+    assert(maxErr(backUtm) < 1e-9, s"UTM round trip err ${maxErr(backUtm)} deg")
+    // geo -> LCC(ft) -> geo
+    val lcc = graft.plans.Pipeline.build(spark, graft.plans.Pipeline.parse(
+      """{"pipeline":[{"type":"filters.reprojection","in_srs":"EPSG:4326","out_srs":"lcc:oregon-ft"}]}""")
+      ._1.head)(Some(geo))
+    val backLcc = Reproject.lccToGeo(Proj.OregonLambertFeet)(lcc)
+    assert(maxErr(backLcc) < 1e-9, s"LCC round trip err ${maxErr(backLcc)} deg")
+  }
+
   test("salted aggregation equals direct aggregation") {
     val df = Faux.uniform(spark, Faux.Box3(0, 0, 0, 100, 100, 100), 5000, seed = 21)
     // double sums are compared rounded: a salted (two-stage) aggregation
@@ -274,6 +299,14 @@ class OperatorBehaviorSpec extends AnyFunSuite {
         filter(split(col("sig"), "\\|"),
           s => !s.startsWith("point"))).as("np"))
     assert(nonPoint(columnar).exceptAll(nonPoint(docs)).isEmpty)
+  }
+
+  test("byte-major payload encoding (BPF third layout) decodes to the same point frame") {
+    val docs = graft.sources.DocSynth.cachedDocs(spark, "/root/testdata/sf0.001")
+    val rowMajor = Model.explodePoints(docs)
+    val byteMajor = Model.toByteMajor(docs)
+    val decoded = Model.explodePointsByteMajor(byteMajor)
+    assert(decoded.exceptAll(rowMajor).isEmpty && rowMajor.exceptAll(decoded).isEmpty)
   }
 
   test("SQL extension functions register and evaluate from SQL text") {
