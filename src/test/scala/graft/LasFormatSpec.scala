@@ -186,6 +186,37 @@ class LasFormatSpec extends AnyFunSuite {
     }
   }
 
+  test("LAS 1.4 format-8 write-then-decode round-trips (u64 count, NIR, channel, i16 angle)") {
+    import org.apache.spark.sql.functions._
+    val (h0, _) = LasDecode.readPoints(P1065)
+    // upgrade the P1065 cloud to a V14 record: give every point a NIR
+    // value and a scanner channel, then emit as LAS 1.4 format 8
+    val df = LasDecode.asDataFrame(spark, P1065)
+      .withColumn("nir", (col("intensity") + 7).cast("int"))
+      .withColumn("scanner_channel", lit(2).cast("short"))
+      .orderBy("span_idx")
+    val out = java.nio.file.Files.createTempFile("graftrt14", ".las").toString
+    LasWriter.write(out, df, pointFormat = 8,
+      LasWriter.XForms(h0.sx, h0.sy, h0.sz, h0.ox, h0.oy, h0.oz))
+    val (h1, rows1) = LasDecode.readPoints(out)
+    assert(h1.versionMinor === 4 && h1.pointFormat === 8 && h1.recordLen === 38)
+    assert(h1.pointCount === 1065L)
+    val want = df.collect()
+    assert(rows1.size === want.length)
+    val ai = LasDecode.schema.fieldIndex("scan_angle_rank")
+    want.zip(rows1).zipWithIndex.foreach { case ((a, b), i) =>
+      LasDecode.schema.fieldNames.indices.foreach { f =>
+        if (f != ai)
+          assert(a.get(f) === b.get(f), s"row $i field ${LasDecode.schema.fieldNames(f)}")
+      }
+      // the V14 angle grid is 0.006-degree steps — whole degrees are NOT
+      // on it (only multiples of 3 are), so the write is lossy by at
+      // most half a step, exactly like the reference's i16 conversion
+      assert(math.abs(a.getFloat(ai) - b.getFloat(ai)) <= 0.003f + 1e-6f,
+        s"row $i scan angle ${a.getFloat(ai)} -> ${b.getFloat(ai)}")
+    }
+  }
+
   test("quantization overflow throws instead of wrapping") {
     intercept[IllegalArgumentException] {
       LasWriter.write(java.nio.file.Files.createTempFile("graftovf", ".las").toString,

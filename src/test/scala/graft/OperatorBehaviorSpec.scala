@@ -65,6 +65,35 @@ class OperatorBehaviorSpec extends AnyFunSuite {
     assert(kept.count() >= 450, "SOR dropped too many cluster points")
   }
 
+  test("exact kNN escalation finds neighbors beyond the starting ring (sparse regime)") {
+    // points spread ~300 units apart: at level 4 (cell side 64) every
+    // point's nearest neighbor is OUTSIDE its 3x3 ring, so the result is
+    // correct ONLY if the certificate escalates to coarser levels
+    val rows = (0 until 9).map { i =>
+      (s"p$i", i, 100.0 + (i % 3) * 300.0, 100.0 + (i / 3) * 300.0, 0.0)
+    }
+    val df = spark.createDataFrame(rows).toDF("doc_id", "span_idx", "x", "y", "z")
+    val nn = JoinOps.exactKnnDistances(df, df, k = 1, startLevel = 4,
+      dims3 = false, excludeSelf = true)
+      .select(col("doc_id"), sqrt(element_at(col("__nnd2"), 1)).as("d1"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(nn.size === 9, s"missing points: $nn")
+    // every point's true nearest neighbor is exactly 300 away
+    nn.foreach { case (id, d) => assert(d === 300.0, s"$id nearest $d != 300") }
+    // nearest-1 payload path agrees
+    val near = JoinOps.exactNearest(df, df.filter(col("doc_id") =!= "p0"), startLevel = 4)
+      .filter(col("doc_id") === "p0")
+      .select(col("__n.nx"), col("__n.ny")).head()
+    assert((near.getDouble(0), near.getDouble(1)) === ((400.0, 100.0)))
+  }
+
+  test("kNN ring replication stays codegen'd (no Scala UDF in the plan)") {
+    val df = Faux.uniform(spark, Faux.Box3(0, 0, 0, 100, 100, 1), 100, seed = 3)
+    val plan = JoinOps.knnPairs(df, df, level = 4).queryExecution.executedPlan.toString
+    assert(!plan.contains("UDF"), s"ring expansion fell out of codegen:\n$plan")
+    assert(plan.contains("neighbor_cells"), "codegen'd ring expression missing from plan")
+  }
+
   test("PMF classifies flat ground and rejects towers") {
     // flat plane z=10 on a grid + a few tall spikes
     val n = 40
