@@ -30,19 +30,29 @@ object Bench {
     // capacity-tiling path that replaces the exact chipper's per-round
     // window sorts at 100x data (VERDICT r1 asked for this measured,
     // not narrated). Size contract asserted here, not just timed.
-    val extras: Seq[(String, () => Unit)] = Seq(
+    // setup() materializes input OUTSIDE the timer (input construction is
+    // not what the entry measures); the returned thunk is the timed job
+    val extras: Seq[(String, () => () => Unit)] = Seq(
       "x_chipper_approx_8x" -> (() => {
         val pts = graft.model.Model.explodePoints(
           graft.sources.DocSynth.docTableReplicated(spark, sfDir, 8))
-        val sizes = graft.operators.TileOps.chipperApprox(250000)(pts)
-          .groupBy("chip").count().collect().map(_.getLong(1))
-        require(sizes.max <= (250000 * 1.3).toLong,
-          s"approx chip ${sizes.max} exceeds capacity + sketch slack")
+          .localCheckpoint()
+        () => {
+          val sizes = graft.operators.TileOps.chipperApprox(250000)(pts)
+            .groupBy("chip").count().collect().map(_.getLong(1))
+          require(sizes.max <= (250000 * 1.3).toLong,
+            s"approx chip ${sizes.max} exceeds capacity + sketch slack")
+        }
       }))
-    val extraResults = extras.map { case (name, fn) =>
-      val t = System.nanoTime()
-      try fn() catch { case e: Throwable => System.err.println(s"[bench] $name: $e") }
-      name -> (System.nanoTime() - t) / 1e9
+    val extraResults = extras.map { case (name, setup) =>
+      try {
+        val run = setup()
+        val t = System.nanoTime()
+        run()
+        name -> (System.nanoTime() - t) / 1e9
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] $name: $e"); name -> -1.0
+      }
     }
     val qs = (results ++ extraResults :+ ("synth" -> synthSec))
       .map { case (k, v) => "\"" + k + "\":" + v }

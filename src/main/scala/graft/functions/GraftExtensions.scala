@@ -54,6 +54,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => HexGrid.HexCellExpr(args(0), args(1), args(2))))
     ext.injectFunction((FunctionIdentifier("simhash64"), info("simhash64"),
       (args: Seq[Expression]) => graft.operators.SimHash64(args(0))))
+    ext.injectFunction((FunctionIdentifier("neighbor_cells"), info("neighbor_cells"),
+      (args: Seq[Expression]) =>
+        graft.operators.NeighborCellsExpr(args(0), CellSpace.default)))
+    ext.injectFunction((FunctionIdentifier("dot_self"), info("dot_self"),
+      (args: Seq[Expression]) => graft.operators.AnnOps.DotSelf(args(0))))
+    ext.injectFunction((FunctionIdentifier("dot_arrays"), info("dot_arrays"),
+      (args: Seq[Expression]) => graft.operators.AnnOps.DotArrays(args(0), args(1))))
   }
 }
 
@@ -77,5 +84,11 @@ object GraftExtensions {
       args => HexGrid.HexCellExpr(args(0), args(1), args(2)), "scala_udf")
     reg.createOrReplaceTempFunction("simhash64",
       args => graft.operators.SimHash64(args(0)), "scala_udf")
+    reg.createOrReplaceTempFunction("neighbor_cells",
+      args => graft.operators.NeighborCellsExpr(args(0), CellSpace.default), "scala_udf")
+    reg.createOrReplaceTempFunction("dot_self",
+      args => graft.operators.AnnOps.DotSelf(args(0)), "scala_udf")
+    reg.createOrReplaceTempFunction("dot_arrays",
+      args => graft.operators.AnnOps.DotArrays(args(0), args(1)), "scala_udf")
   }
 }

@@ -87,7 +87,11 @@ object Pipeline {
           case m => throw new IllegalArgumentException(s"faux mode $m")
         }
       case "readers.las" =>
-        LasDecode.asDataFrame(spark, st.str("path").get)
+        // distributed: one executor task per matched file (glob-capable);
+        // default stays the driver decode for single-fixture parity runs
+        if (st.bool("distributed").getOrElse(false))
+          LasDecode.asDistributedDataFrame(spark, st.str("path").get)
+        else LasDecode.asDataFrame(spark, st.str("path").get)
 
       // ---- filters -----------------------------------------------------
       case "filters.range" =>

@@ -149,4 +149,29 @@ object LasDecode {
     val (_, rows) = readPoints(path, docId)
     spark.createDataFrame(spark.sparkContext.parallelize(rows.toSeq, 4), schema)
   }
+
+  /** DISTRIBUTED LAS ingest: one executor task per file via Spark's
+    * binaryFile source — the natural parallel unit for LAS (each file is
+    * self-describing; the reference reads files serially, one Stage per
+    * file). `pathGlob` may match many files; doc_id = file name. The
+    * per-record decode is the same [[decodeRecord]] the driver path and
+    * the byte-fixture goldens pin. For files too large for one task,
+    * split ingest at row offsets (records are fixed-length) — not needed
+    * at fixture scale. */
+  def asDistributedDataFrame(spark: SparkSession, pathGlob: String): DataFrame = {
+    import org.apache.spark.sql.Row
+    val bin = spark.read.format("binaryFile").load(pathGlob)
+      .select("path", "content")
+    val rowEnc = org.apache.spark.sql.Encoders.row(schema)
+    bin.flatMap { r =>
+      val path = r.getString(0)
+      val docId = path.substring(path.lastIndexOf('/') + 1)
+      val bytes = r.getAs[Array[Byte]](1)
+      val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+      val h = readHeader(bb)
+      (0L until h.pointCount).iterator.map { i =>
+        decodeRecord(bb, (h.dataOffset + i * h.recordLen).toInt, h, docId, i.toInt)
+      }
+    }(rowEnc)
+  }
 }

@@ -217,6 +217,16 @@ class LasFormatSpec extends AnyFunSuite {
     }
   }
 
+  test("distributed LAS ingest (binaryFile, task per file) equals the driver decode") {
+    val dist = LasDecode.asDistributedDataFrame(spark, P1065)
+    val drv = LasDecode.asDataFrame(spark, P1065)
+      .drop("doc_id") // driver path uses the "las" default id, dist uses the file name
+    val d2 = dist.drop("doc_id")
+    assert(dist.count() === 1065)
+    assert(d2.exceptAll(drv).isEmpty && drv.exceptAll(d2).isEmpty)
+    assert(dist.select("doc_id").distinct().head().getString(0) === "1.2-with-color.las")
+  }
+
   test("quantization overflow throws instead of wrapping") {
     intercept[IllegalArgumentException] {
       LasWriter.write(java.nio.file.Files.createTempFile("graftovf", ".las").toString,

@@ -111,6 +111,12 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(df.exceptAll(viaOp).isEmpty && viaOp.exceptAll(df).isEmpty)
   }
 
+  test("stats reads the input exactly once (one scan + unpivot)") {
+    val plan = planOf(AggOps.stats(Seq("x", "y", "z", "intensity", "gps_time"))(stored))
+    val scans = plan.linesIterator.count(_.contains("FileScan parquet"))
+    assert(scans === 1, s"stats scanned the input $scans times:\n$plan")
+  }
+
   test("morton key and cell id are codegen'd projections") {
     val df = stored.select(
       graft.functions.SpatialFunctions.mortonKey(col("x"), col("y")).as("mk"),
