@@ -323,4 +323,37 @@ object Reproject {
       "x" -> (col("x") * lit(math.Pi / 180.0) * lit(R)),
       "y" -> (log(tan(lit(math.Pi / 4) + col("y") * lit(math.Pi / 360.0))) * lit(R))))
   }
+
+  // ---- named-SRS registry ---------------------------------------------
+  // Every registered SRS knows its to-geographic and from-geographic
+  // stage, so ANY pair composes through geographic coordinates — the
+  // reference's OSRTransform hub-and-spoke shape
+  // (ReprojectionFilter.cpp:131-205) without a GDAL runtime. Both legs
+  // are codegen'd projections, so a composed transform is still a single
+  // whole-stage-codegen projection over the scan.
+
+  private def unknown(srs: String): Nothing =
+    throw new IllegalArgumentException(
+      s"unknown SRS '$srs' (known: EPSG:4326, EPSG:3857, utm:<zone>, lcc:oregon-ft)")
+
+  def toGeoStage(srs: String): DataFrame => DataFrame = srs match {
+    case "EPSG:4326" | "" => identity
+    case s if s.startsWith("utm:") => utmToGeo(s.stripPrefix("utm:").toInt)
+    case "lcc:oregon-ft" => lccToGeo(Proj.OregonLambertFeet)
+    case "EPSG:3857" => webMercatorToGeo
+    case other => unknown(other)
+  }
+
+  def fromGeoStage(srs: String): DataFrame => DataFrame = srs match {
+    case "EPSG:4326" | "" => identity
+    case s if s.startsWith("utm:") => geoToUtm(s.stripPrefix("utm:").toInt)
+    case "lcc:oregon-ft" => geoToLcc(Proj.OregonLambertFeet)
+    case "EPSG:3857" => geoToWebMercator
+    case other => unknown(other)
+  }
+
+  /** Any registered SRS pair, composed through geographic coordinates. */
+  def transform(fromSrs: String, toSrs: String): DataFrame => DataFrame =
+    if (fromSrs == toSrs) identity
+    else toGeoStage(fromSrs).andThen(fromGeoStage(toSrs))
 }

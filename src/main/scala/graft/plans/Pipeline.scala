@@ -149,20 +149,9 @@ object Pipeline {
       case "filters.hexbin" =>
         TileOps.hexDensity(st.dbl("edge").getOrElse(10.0))(in.get)
       case "filters.reprojection" =>
-        (st.str("in_srs").getOrElse(""), st.str("out_srs").getOrElse("EPSG:4326")) match {
-          case (in_srs, "EPSG:4326") if in_srs.startsWith("utm:") =>
-            val z = in_srs.stripPrefix("utm:").toInt
-            Reproject.utmToGeo(z)(in.get)
-          case ("lcc:oregon-ft", "EPSG:4326") =>
-            Reproject.lccToGeo(Proj.OregonLambertFeet)(in.get)
-          case ("EPSG:4326", out_srs) if out_srs.startsWith("utm:") =>
-            Reproject.geoToUtm(out_srs.stripPrefix("utm:").toInt)(in.get)
-          case ("EPSG:4326", "lcc:oregon-ft") =>
-            Reproject.geoToLcc(Proj.OregonLambertFeet)(in.get)
-          case ("EPSG:3857", "EPSG:4326") => Reproject.webMercatorToGeo(in.get)
-          case ("EPSG:4326", "EPSG:3857") => Reproject.geoToWebMercator(in.get)
-          case (i, o) => throw new IllegalArgumentException(s"reprojection $i -> $o")
-        }
+        // any registered SRS pair composes through geographic coordinates
+        Reproject.transform(st.str("in_srs").getOrElse(""),
+          st.str("out_srs").getOrElse("EPSG:4326"))(in.get)
       case "filters.ground" =>
         GroundOps.pmf(GroundOps.PmfParams(
           cellSize = st.dbl("cell_size").getOrElse(1.0),

@@ -263,6 +263,14 @@ class OperatorBehaviorSpec extends AnyFunSuite {
       ._1.head)(Some(geo))
     val backLcc = Reproject.lccToGeo(Proj.OregonLambertFeet)(lcc)
     assert(maxErr(backLcc) < 1e-9, s"LCC round trip err ${maxErr(backLcc)} deg")
+    // any-to-any composition through geographic: utm:10 -> EPSG:3857
+    // equals the two-leg composition, and round-trips back
+    val composed = Reproject.transform("utm:10", "EPSG:3857")(utm)
+    val twoLeg = Reproject.geoToWebMercator(Reproject.utmToGeo(10)(utm))
+    assert(composed.select("span_idx", "x", "y")
+      .exceptAll(twoLeg.select("span_idx", "x", "y")).isEmpty)
+    val back = Reproject.transform("EPSG:3857", "EPSG:4326")(composed)
+    assert(maxErr(back) < 1e-9, s"composed round trip err ${maxErr(back)} deg")
   }
 
   test("salted aggregation equals direct aggregation") {
