@@ -104,6 +104,9 @@ object EntryPipelines {
     "q_minhash_dedup" -> ((s, dir) =>
       TextOps.minhashDedup(numPerms = 16, shingleN = 3, bands = 4)(docs(s, dir))),
 
+    "q_dedup_cc" -> ((s, dir) =>
+      TextOps.minhashDedupCC(numPerms = 16, shingleN = 3, bands = 4)(docs(s, dir))),
+
     "q_simhash" -> ((s, dir) =>
       docs(s, dir).select(col("doc_id"),
         SimHash64.col(TextOps.wordsCol).as("simhash"))),
@@ -122,6 +125,19 @@ object EntryPipelines {
     "q_ann_cosine" -> ((s, dir) =>
       AnnOps.cosineTopK(queryVec, k = 25)(embs(s, dir))
         .select(col("vec_id"), col("label"), round(col("sim"), 6).as("sim6"))),
+
+    "q_near_dup" -> ((s, dir) =>
+      AnnOps.cosineNearDupPairs(planes = 6, dims = 64, threshold = 0.15)(embs(s, dir))
+        .select(col("a_id"), col("b_id"), round(col("sim"), 6).as("sim6"))),
+
+    "q_quantize" -> ((s, dir) => {
+      val xf = Map(
+        "x" -> Quantize.XForm(0.03, 100.0),
+        "y" -> Quantize.XForm(0.07, -50.0),
+        "z" -> Quantize.XForm(0.011, 0.0))
+      Quantize.quantize(xf)(pts(s, dir))
+        .select(col("doc_id"), col("span_idx"), col("x_i"), col("y_i"), col("z_i"))
+    }),
 
     "q_ror" -> ((s, dir) => {
       val sub = pts(s, dir).filter(col("intensity") % 23 === 0)
@@ -375,6 +391,27 @@ object EntryPipelines {
 
       "q_minhash_dedup" -> minhashDedupSql,
 
+      "q_dedup_cc" -> dedupCcSql,
+
+      "q_near_dup" -> nearDupSql,
+
+      // writers.las quantization grid: sround = round half away from
+      // zero (Utils::sround / lround), mirrored exactly; literals CAST
+      // to DOUBLE (DuckDB decimals would change the arithmetic type)
+      "q_quantize" -> {
+        def q(c: String, s: String, o: String) =
+          s"""CAST((CASE WHEN (($c - CAST($o AS DOUBLE)) / CAST($s AS DOUBLE)) >= 0
+             |THEN floor((($c - CAST($o AS DOUBLE)) / CAST($s AS DOUBLE)) + CAST(0.5 AS DOUBLE))
+             |ELSE ceil((($c - CAST($o AS DOUBLE)) / CAST($s AS DOUBLE)) - CAST(0.5 AS DOUBLE)) END) AS INT)"""
+            .stripMargin.replace("\n", " ")
+        s"""WITH $P
+           |SELECT doc_id, span_idx,
+           |       ${q("x", "0.03", "100.0")} AS x_i,
+           |       ${q("y", "0.07", "-50.0")} AS y_i,
+           |       ${q("z", "0.011", "0.0")} AS z_i
+           |FROM pts""".stripMargin
+      },
+
       "q_simhash" -> simhashSql,
 
       "q_ngram_jaccard" ->
@@ -602,6 +639,66 @@ object EntryPipelines {
        |  FROM eb, q WHERE bucket IN (SELECT probe FROM probes))
        |SELECT vec_id, label, round(sim, 6) AS sim6 FROM cand
        |ORDER BY sim DESC, vec_id LIMIT 20""".stripMargin
+  }
+
+  /** Connected-components dedup-closure oracle: the SAME band derivation
+    * as minhashDedupSql, then TRANSITIVE closure via a recursive CTE —
+    * a completely different algorithm from the engine's iterative
+    * label propagation, converging to the same per-component minimum. */
+  private def dedupCcSql: String = {
+    s"""WITH RECURSIVE sh AS (
+       |  SELECT doc_id,
+       |         CASE WHEN len($wordsSql) < 3
+       |           THEN [array_to_string($wordsSql, ' ')]
+       |           ELSE list_transform(generate_series(1, len($wordsSql) - 2),
+       |                i -> array_to_string(($wordsSql)[i:i+2], ' ')) END AS sh
+       |  FROM documents),
+       |sig AS (
+       |  SELECT doc_id,
+       |         list_transform(generate_series(0, 15),
+       |           p -> list_min(list_transform(sh, s -> md5(CAST(p AS VARCHAR) || ':' || s)))) AS sig
+       |  FROM sh),
+       |bands AS (
+       |  SELECT doc_id, unnest(list_transform(generate_series(0, 3),
+       |           b -> md5(CAST(b AS VARCHAR) || '|' ||
+       |                    array_to_string(sig[b * 4 + 1:b * 4 + 4], ',')))) AS band
+       |  FROM sig),
+       |e AS (SELECT DISTINCT a.doc_id AS s, b.doc_id AS t
+       |      FROM bands a JOIN bands b USING (band)),
+       |reach AS (
+       |  SELECT s, t FROM e
+       |  UNION
+       |  SELECT r.s, e2.t FROM reach r JOIN e e2 ON r.t = e2.s)
+       |SELECT s AS doc_id, min(t) AS rep_doc_id FROM reach GROUP BY s""".stripMargin
+  }
+
+  /** Embedding near-duplicate pairs oracle: md5-derived hyperplane
+    * buckets (as in annLshSql), bucket-local self-join, exact cosine. */
+  private def nearDupSql: String = {
+    val planes = 6
+    val wv =
+      """list_transform(generate_series(0, 63), d ->
+        |           CASE WHEN (strpos('0123456789abcdef',
+        |                  substring(md5(CAST(w.p AS VARCHAR) || ':' || CAST(d AS VARCHAR)), 2, 1)) - 1) % 2 = 0
+        |                THEN CAST(1 AS DOUBLE) ELSE CAST(-1 AS DOUBLE) END)""".stripMargin
+    s"""WITH w AS (
+       |  SELECT w.p AS p,
+       |         $wv AS wv
+       |  FROM (SELECT unnest(generate_series(0, ${planes - 1})) AS p) w),
+       |eb AS (
+       |  SELECT e.vec_id, e.embedding,
+       |         (SELECT CAST(sum(CASE WHEN list_dot_product(e.embedding::DOUBLE[], w.wv) >= 0
+       |                               THEN (1::BIGINT << CAST(w.p AS INT)) ELSE 0 END) AS BIGINT)
+       |          FROM w) AS bucket
+       |  FROM embeddings e),
+       |pairs AS (
+       |  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+       |         list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
+       |         greatest(sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
+       |                  sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])), 1e-300) AS sim
+       |  FROM eb a JOIN eb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+       |SELECT a_id, b_id, round(sim, 6) AS sim6 FROM pairs
+       |WHERE sim >= CAST(0.15 AS DOUBLE)""".stripMargin
   }
 
   /** MinHash-LSH dedup oracle: same md5-anchored signature, band keys,
