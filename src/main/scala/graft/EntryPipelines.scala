@@ -169,6 +169,12 @@ object EntryPipelines {
           round(col("sum_value"), 4).as("sum4"))
     }),
 
+    "q_session_window" -> ((s, dir) =>
+      graft.streaming.StreamOps.sessionWindowStats(
+        s.read.parquet(s"$dir/events.parquet"), gap = "30 minutes")
+        .select(col("sess_start"), col("sess_end"), col("user_id"), col("n"),
+          round(col("sum_value"), 4).as("sum4"))),
+
     // ---- multimodal ---------------------------------------------------
     "q_media_meta" -> ((s, dir) => {
       val withBlob = docs(s, dir).withColumn("blob",
@@ -496,6 +502,26 @@ object EntryPipelines {
           |       event_type, CAST(count(*) AS BIGINT) AS n,
           |       round(sum(value), 4) AS sum4
           |FROM events GROUP BY 1, 2""".stripMargin,
+
+      // session_window oracle: gaps-and-islands — break when the gap to
+      // the previous event is >= 30 min (Spark merges only ts < end);
+      // session end = last event + gap
+      "q_session_window" ->
+        """WITH o AS (
+          |  SELECT user_id, ts, value,
+          |         CASE WHEN lag(ts) OVER w IS NULL
+          |              OR epoch(ts) - epoch(lag(ts) OVER w) >= 1800 THEN 1 ELSE 0 END AS brk
+          |  FROM events
+          |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+          |g AS (
+          |  SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+          |                           ROWS UNBOUNDED PRECEDING) AS sid
+          |  FROM o)
+          |SELECT CAST(floor(epoch(min(ts))) AS BIGINT) AS sess_start,
+          |       CAST(floor(epoch(max(ts))) + 1800 AS BIGINT) AS sess_end,
+          |       user_id, CAST(count(*) AS BIGINT) AS n,
+          |       round(sum(value), 4) AS sum4
+          |FROM g GROUP BY user_id, sid""".stripMargin,
 
       "q_media_meta" ->
         """WITH b AS (

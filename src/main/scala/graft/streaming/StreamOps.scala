@@ -31,6 +31,23 @@ object StreamOps {
         col("event_type"), col("n"), col("sum_value"))
   }
 
+  /** Event-time SESSION windows (gap-based) per user via Spark's
+    * session_window — works over batch and (with the watermark) over
+    * streams. Deterministic on event time: a session is the maximal run
+    * of a user's events where consecutive gaps stay strictly under
+    * `gap`; window end = last event + gap. The batch gaps-and-islands
+    * SQL is therefore an exact oracle (q_session_window). */
+  def sessionWindowStats(events: DataFrame, gap: String = "30 minutes",
+                         watermark: Option[String] = None): DataFrame = {
+    val src = watermark.map(events.withWatermark("ts", _)).getOrElse(events)
+    src
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .select(unix_timestamp(col("session_window.start")).as("sess_start"),
+        unix_timestamp(col("session_window.end")).as("sess_end"),
+        col("user_id"), col("n"), col("sum_value"))
+  }
+
   /** Drain a streaming aggregation over a static parquet dir through a
     * memory sink (complete mode) and return the result table — the test
     * and verification entry (one micro-batch per file group). */

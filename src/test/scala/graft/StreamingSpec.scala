@@ -24,6 +24,18 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
   }
 
+  test("streamed session windows equal the batch session windows") {
+    val dir = "/root/testdata/sf0.001"
+    val streamed = StreamOps.runToCompletion(spark, s"$dir/events.parquet",
+      df => StreamOps.sessionWindowStats(df, gap = "30 minutes",
+        watermark = Some("0 seconds")), "t_sess_eq_batch")
+      .select("sess_start", "sess_end", "user_id", "n")
+    val batch = StreamOps.sessionWindowStats(
+      spark.read.parquet(s"$dir/events.parquet"), gap = "30 minutes")
+      .select("sess_start", "sess_end", "user_id", "n")
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+  }
+
   test("sessionization accumulates per-user state") {
     val events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
       .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
