@@ -147,6 +147,17 @@ object Manifest {
   def resumable(root: String, stage: String, fingerprint: String): Boolean =
     read(root, stage).exists(_.fingerprint == fingerprint)
 
+  /** Deep validation: recompute the checkpoint data's per-partition
+    * lineage and compare against the manifest — catches bit rot or
+    * out-of-band edits the fingerprint (config-level) cannot see. One
+    * aggregate job over the checkpoint; order-independent digests make
+    * the compare partition-by-partition exact. */
+  def validate(spark: SparkSession, root: String, stage: String): Boolean =
+    read(root, stage).exists { m =>
+      try lineageOf(readData(spark, root, stage))._1 == m.partitions
+      catch { case _: Exception => false } // unreadable data = invalid
+    }
+
   def readData(spark: SparkSession, root: String, stage: String): DataFrame =
     spark.read.parquet(s"$root/$stage/data")
 

@@ -286,8 +286,13 @@ object Pipeline {
       // re-run — resuming would report success with no output materialized
       val destinationIntact = !st.typ.startsWith("writers.") ||
         st.str("path").forall(p => java.nio.file.Files.exists(java.nio.file.Paths.get(p)))
+      // optional deep check: recompute the checkpoint's lineage digests
+      // before trusting it (bit rot / out-of-band edits)
+      def digestsIntact = !st.bool("validate_resume").getOrElse(false) ||
+        Manifest.validate(spark, ckRoot.get, stageId)
       val df =
-        if (wantCk && Manifest.resumable(ckRoot.get, stageId, fingerprint) && destinationIntact) {
+        if (wantCk && Manifest.resumable(ckRoot.get, stageId, fingerprint) &&
+            destinationIntact && digestsIntact) {
           resumed :+= stageId
           Manifest.readData(spark, ckRoot.get, stageId)
         } else {

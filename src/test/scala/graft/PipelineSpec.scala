@@ -120,6 +120,38 @@ class PipelineSpec extends AnyFunSuite {
     assert(Manifest.fromJson(json) === m)
   }
 
+  test("validate_resume recomputes a stage whose checkpoint data was tampered with") {
+    val ck = tmp()
+    val spec =
+      s"""{ "pipeline": [
+         |  {"type": "readers.faux", "mode": "ramp",
+         |   "bounds": [0, 0, 0, 10, 10, 10], "count": 200},
+         |  {"type": "filters.splitter", "length": 5,
+         |   "checkpoint": true, "validate_resume": true}
+         |], "checkpoint_root": "$ck" }""".stripMargin
+    val first = Pipeline.run(spark, spec)
+    assert(first.df.count() === 200)
+    // untouched: digest validation passes, stage resumes
+    val second = Pipeline.run(spark, spec)
+    assert(second.resumedStages === Seq("001_filters_splitter"))
+    // tamper: overwrite the checkpoint data with a DIFFERENT row set but
+    // keep the manifest — fingerprint still matches, digests don't
+    val dataDir = s"$ck/001_filters_splitter/data"
+    spark.read.parquet(dataDir).limit(100)
+      .write.mode("overwrite").parquet(dataDir + "_tmp")
+    def rm(p: java.nio.file.Path): Unit = {
+      if (java.nio.file.Files.isDirectory(p)) java.nio.file.Files.list(p).forEach(rm)
+      java.nio.file.Files.delete(p)
+    }
+    rm(java.nio.file.Paths.get(dataDir))
+    java.nio.file.Files.move(java.nio.file.Paths.get(dataDir + "_tmp"),
+      java.nio.file.Paths.get(dataDir))
+    val third = Pipeline.run(spark, spec)
+    assert(third.ranStages.contains("001_filters_splitter"),
+      s"tampered checkpoint was resumed: ${third.resumedStages}")
+    assert(third.df.count() === 200)
+  }
+
   test("quickInfo is served from the manifest with zero Spark jobs") {
     val ck = tmp()
     val df = sources.Faux.ramp(spark, sources.Faux.Box3(1, 2, 3, 11, 12, 13), 500)
