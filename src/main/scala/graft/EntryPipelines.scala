@@ -111,6 +111,9 @@ object EntryPipelines {
       docs(s, dir).select(col("doc_id"),
         SimHash64.col(TextOps.wordsCol).as("simhash"))),
 
+    "q_fingerprint" -> ((s, dir) =>
+      TextOps.rollingFingerprintRows(docs(s, dir))),
+
     "q_ngram_jaccard" -> ((s, dir) => {
       val d = docs(s, dir)
       val pairs = d.select(col("doc_id").as("a_id"), (col("doc_id") + 1).as("b_id"))
@@ -129,6 +132,11 @@ object EntryPipelines {
     "q_near_dup" -> ((s, dir) =>
       AnnOps.cosineNearDupPairs(planes = 6, dims = 64, threshold = 0.15)(embs(s, dir))
         .select(col("a_id"), col("b_id"), round(col("sim"), 6).as("sim6"))),
+
+    "q_ann_ivf" -> ((s, dir) =>
+      AnnOps.ivfTopK(queryVec, k = 20, nLists = 16, nProbe = 4)(embs(s, dir))
+        .select(col("vec_id"), col("label"), col("list"),
+          round(col("sim"), 6).as("sim6"))),
 
     "q_quantize" -> ((s, dir) => {
       val xf = Map(
@@ -401,6 +409,8 @@ object EntryPipelines {
 
       "q_near_dup" -> nearDupSql,
 
+      "q_ann_ivf" -> annIvfSql,
+
       // writers.las quantization grid: sround = round half away from
       // zero (Utils::sround / lround), mirrored exactly; literals CAST
       // to DOUBLE (DuckDB decimals would change the arithmetic type)
@@ -419,6 +429,20 @@ object EntryPipelines {
       },
 
       "q_simhash" -> simhashSql,
+
+      // rolling-hash fingerprints: identical integer polynomial per
+      // k-gram (base 31, prime modulus < 2^50 — every intermediate fits
+      // int64 exactly), mod-17 content-defined selection
+      "q_fingerprint" -> {
+        val pows = Array.iterate(1L, 8)(_ * 31L).reverse
+        val terms = (0 until 8).map(j =>
+          s"CAST(unicode(substring(s, CAST(i + $j AS INT), 1)) AS BIGINT) * CAST(${pows(j)} AS BIGINT)")
+          .mkString(" + ")
+        s"""WITH t AS (SELECT doc_id, lower(text) AS s FROM documents),
+           |g AS (SELECT doc_id, s, unnest(generate_series(1, len(s) - 7)) AS i FROM t),
+           |h AS (SELECT doc_id, ($terms) % 1125899906842597 AS fp FROM g)
+           |SELECT DISTINCT doc_id, fp FROM h WHERE fp % 17 = 0""".stripMargin
+      },
 
       "q_ngram_jaccard" ->
         s"""WITH sh AS (
@@ -696,6 +720,39 @@ object EntryPipelines {
        |  UNION
        |  SELECT r.s, e2.t FROM reach r JOIN e e2 ON r.t = e2.s)
        |SELECT s AS doc_id, min(t) AS rep_doc_id FROM reach GROUP BY s""".stripMargin
+  }
+
+  /** IVF ANN oracle: the deterministic seed centroids (first nLists
+    * vectors by vec_id, L2-normalized), max-cosine list assignment
+    * (ties -> lowest index, like the engine's first-wins argmax), query
+    * probes the nProbe best lists, exact rerank within them. */
+  private def annIvfSql: String = {
+    val (nLists, nProbe, k) = (16, 4, 20)
+    s"""WITH q AS (SELECT $queryVecSql AS qv),
+       |cent0 AS (
+       |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS ci, embedding::DOUBLE[] AS ce
+       |  FROM embeddings ORDER BY vec_id LIMIT $nLists),
+       |cent AS (
+       |  SELECT ci, list_transform(ce,
+       |           x -> x / greatest(sqrt(list_dot_product(ce, ce)), 1e-300)) AS cn
+       |  FROM cent0),
+       |assign AS (
+       |  SELECT e.vec_id, e.label, e.embedding,
+       |         (SELECT c.ci FROM cent c
+       |          ORDER BY list_dot_product(e.embedding::DOUBLE[], c.cn) DESC, c.ci
+       |          LIMIT 1) AS list
+       |  FROM embeddings e),
+       |qd AS (
+       |  SELECT ci FROM cent, q
+       |  ORDER BY list_dot_product(q.qv, cn) DESC, ci LIMIT $nProbe),
+       |cand AS (
+       |  SELECT vec_id, label, list,
+       |         list_dot_product(embedding::DOUBLE[], q.qv) /
+       |         (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) *
+       |          sqrt(list_dot_product(q.qv, q.qv))) AS sim
+       |  FROM assign, q WHERE list IN (SELECT ci FROM qd))
+       |SELECT vec_id, label, list, round(sim, 6) AS sim6 FROM cand
+       |ORDER BY sim DESC, vec_id LIMIT $k""".stripMargin
   }
 
   /** Embedding near-duplicate pairs oracle: md5-derived hyperplane

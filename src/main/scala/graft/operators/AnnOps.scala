@@ -167,6 +167,81 @@ object AnnOps {
       .limit(k)
   }
 
+  /** Codegen'd argmax over dot products with a constant centroid matrix:
+    * returns the index (ties -> lowest) of the centroid with the largest
+    * dot product — the IVF coarse-quantizer assignment, one pass over
+    * the embedding per row. */
+  case class ArgMaxDots(child: Expression, cents: Array[Array[Double]])
+      extends UnaryExpression with Serializable {
+    override def dataType: DataType = IntegerType
+    override def nullIntolerant: Boolean = true
+    override def prettyName: String = "argmax_dots"
+    override protected def nullSafeEval(v: Any): Any =
+      AnnOps.argMaxDots(v.asInstanceOf[ArrayData], cents)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val cs = ctx.addReferenceObj("cents", cents, "double[][]")
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = graft.operators.AnnOps.argMaxDots($c, $cs);")
+    }
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  def argMaxDots(arr: ArrayData, cents: Array[Array[Double]]): Int = {
+    var best = 0; var bestDot = Double.NegativeInfinity
+    var ci = 0
+    while (ci < cents.length) {
+      val c = cents(ci)
+      val n = math.min(arr.numElements(), c.length)
+      var s = 0.0; var i = 0
+      while (i < n) { s += arr.getFloat(i).toDouble * c(i); i += 1 }
+      if (s > bestDot) { bestDot = s; best = ci }
+      ci += 1
+    }
+    best
+  }
+
+  /** IVF (inverted-file) ANN. Coarse quantizer: the first `nLists`
+    * vectors by vec_id, L2-normalized, as deterministic seed centroids
+    * (at 100 TB you'd k-means-refine them; the LIST/probe machinery —
+    * the scale-bearing part — is identical, and determinism keeps the
+    * oracle exact). Every vector joins the list of its max-cosine
+    * centroid; `list` is the partition/cluster key at scale, so a query
+    * touches nProbe lists instead of the table. */
+  def ivfListAssign(nLists: Int)(df: DataFrame): DataFrame =
+    ivfAssignWith(ivfCentroids(df, nLists))(df)
+
+  private def ivfAssignWith(cents: Array[Array[Double]])(df: DataFrame): DataFrame =
+    df.withColumn("list",
+      ExpressionUtils.column(ArgMaxDots(ExpressionUtils.expression(col("embedding")), cents)))
+
+  /** Deterministic seed centroids: first `nLists` embeddings by vec_id,
+    * L2-normalized (so argmax dot = argmax cosine). Driver-side — tiny. */
+  def ivfCentroids(df: DataFrame, nLists: Int): Array[Array[Double]] =
+    df.select(col("vec_id"), col("embedding")).orderBy(col("vec_id")).limit(nLists)
+      .collect().map { r =>
+        val e = r.getSeq[Float](1).map(_.toDouble).toArray
+        val n = math.sqrt(e.map(x => x * x).sum)
+        e.map(_ / math.max(n, java.lang.Double.MIN_VALUE))
+      }
+
+  /** IVF top-k: probe the `nProbe` lists whose centroids best match the
+    * query, exact cosine rerank within them. */
+  def ivfTopK(query: Array[Double], k: Int, nLists: Int, nProbe: Int)
+             (df: DataFrame): DataFrame = {
+    val cents = ivfCentroids(df, nLists)
+    val qDots = cents.map(c => c.zip(query).map { case (a, b) => a * b }.sum)
+    val probes = qDots.zipWithIndex.sortBy { case (d, i) => (-d, i) }
+      .take(nProbe).map(_._2)
+    val qn = math.sqrt(query.map(x => x * x).sum)
+    ivfAssignWith(cents)(df)
+      .filter(col("list").isin(probes.toSeq: _*))
+      .select(col("vec_id"), col("label"), col("list"),
+        (dotConst(col("embedding"), query) /
+          greatest(norm(col("embedding")) * lit(qn), lit(java.lang.Double.MIN_VALUE))).as("sim"))
+      .orderBy(col("sim").desc, col("vec_id"))
+      .limit(k)
+  }
+
   /** Embedding-cosine near-duplicate pairs within LSH buckets: self-join
     * each bucket (plus nothing else — the bucket IS the blocking key),
     * keep pairs with cosine above threshold. */

@@ -19,6 +19,65 @@ object TextOps {
   /** SQL twin (DuckDB regexp_extract_all has no group arg default 0). */
   val wordsSql = "regexp_extract_all(lower(text), '[a-z]+')"
 
+  // ---- rolling-hash document fingerprints -------------------------------
+
+  /** Rabin-style content-defined fingerprint parameters: k-gram
+    * polynomial hash base/modulus chosen so every intermediate fits an
+    * int64 EXACTLY (max codepoint * B^(k-1) * k < 2^63) — plain integer
+    * arithmetic, bit-identical in any engine. Selection keeps hashes
+    * ≡ 0 (mod SelP): the LBFS/CDC sampling rule — positions are chosen
+    * by CONTENT, so insertions shift but don't re-sample the whole doc
+    * (the property that makes the fingerprints usable for containment /
+    * near-dup detection at scale). */
+  val FpK = 8
+  val FpB = 31L
+  val FpM = 1125899906842597L // prime < 2^50
+  val SelP = 17L
+  private val FpPows: Array[Long] =
+    Array.iterate(1L, FpK)(_ * FpB).reverse // B^(k-1) .. B^0
+
+  def rollingFingerprints(text: org.apache.spark.unsafe.types.UTF8String)
+      : org.apache.spark.sql.catalyst.util.ArrayData = {
+    val s = text.toString.toLowerCase(java.util.Locale.ROOT)
+    val cps = s.codePoints().toArray
+    val out = scala.collection.mutable.SortedSet.empty[Long]
+    var i = 0
+    while (i + FpK <= cps.length) {
+      var h = 0L
+      var j = 0
+      while (j < FpK) { h += cps(i + j).toLong * FpPows(j); j += 1 }
+      h %= FpM
+      if (h % SelP == 0) out += h
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)
+  }
+
+  /** Codegen'd rolling-fingerprint expression: sorted distinct selected
+    * k-gram hashes of a text column. */
+  case class RollingFingerprintsExpr(child: org.apache.spark.sql.catalyst.expressions.Expression)
+      extends org.apache.spark.sql.catalyst.expressions.UnaryExpression with Serializable {
+    import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullIntolerant: Boolean = true
+    override def prettyName: String = "rolling_fingerprints"
+    override protected def nullSafeEval(v: Any): Any =
+      rollingFingerprints(v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = graft.operators.TextOps.rollingFingerprints($c);")
+    override protected def withNewChildInternal(
+        c: org.apache.spark.sql.catalyst.expressions.Expression)
+        : org.apache.spark.sql.catalyst.expressions.Expression = copy(child = c)
+  }
+
+  /** One row per (doc_id, selected k-gram hash). */
+  def rollingFingerprintRows(df: DataFrame): DataFrame =
+    df.select(col("doc_id"),
+      explode(org.apache.spark.sql.graftbridge.ColumnBridge.column(
+        RollingFingerprintsExpr(
+          org.apache.spark.sql.graftbridge.ColumnBridge.expression(col("text"))))).as("fp"))
+
   // ---- token counting ---------------------------------------------------
 
   /** Whitespace-token count + BPE-ish subword estimate (a words +
