@@ -197,6 +197,20 @@ object EntryPipelines {
         MediaOps.synthBlob(concat(lit("blob://"), col("doc_id").cast(StringType)), 8))
       MediaOps.frameSample("blob", frameBytes = 16, step = 3)(withBlob)
         .select("doc_id", "frame_idx", "frame_hash")
+    }),
+
+    "q_media_resize" -> ((s, dir) => {
+      val withBlob = docs(s, dir).withColumn("blob",
+        MediaOps.synthBlob(concat(lit("blob://"), col("doc_id").cast(StringType)), 8))
+      MediaOps.resizeStub("blob", stride = 5)(withBlob)
+        .select("doc_id", "resized_size", "resized_hash")
+    }),
+
+    "q_media_features" -> ((s, dir) => {
+      val withBlob = docs(s, dir).withColumn("blob",
+        MediaOps.synthBlob(concat(lit("blob://"), col("doc_id").cast(StringType)), 8))
+      MediaOps.featureStub("blob", dims = 8)(withBlob)
+        .select(col("doc_id"), col("feat_idx"), round(col("feat"), 6).as("feat6"))
     })
   )
 
@@ -569,7 +583,39 @@ object EntryPipelines {
           |  FROM b)
           |SELECT doc_id, CAST(frame_idx AS INT) AS frame_idx,
           |       md5(substring(hex(blob), frame_idx * 32 + 1, 32)) AS frame_hash
-          |FROM f WHERE frame_idx % 3 = 0""".stripMargin
+          |FROM f WHERE frame_idx % 3 = 0""".stripMargin,
+
+      // resize stub: every 5th byte — hex of the subsampled blob is the
+      // concatenation of the kept bytes' hex pairs
+      "q_media_resize" ->
+        """WITH b AS (
+          |  SELECT doc_id, repeat(unhex(md5('blob://' || CAST(doc_id AS VARCHAR))), 8) AS blob
+          |  FROM documents),
+          |r AS (
+          |  SELECT doc_id, octet_length(blob) AS n, hex(blob) AS hx FROM b),
+          |s AS (
+          |  SELECT doc_id,
+          |         CAST((n + 4) // 5 AS INT) AS resized_size,
+          |         array_to_string(list_transform(
+          |           generate_series(0, CAST((n + 4) // 5 AS INT) - 1),
+          |           i -> substring(hx, CAST(i * 10 + 1 AS INT), 2)), '') AS rhx
+          |  FROM r)
+          |SELECT doc_id, resized_size, md5(rhx) AS resized_hash FROM s""".stripMargin,
+
+      // feature stub: byte i / 255 for the first 8 bytes
+      "q_media_features" ->
+        """WITH b AS (
+          |  SELECT doc_id, repeat(unhex(md5('blob://' || CAST(doc_id AS VARCHAR))), 8) AS blob
+          |  FROM documents),
+          |f AS (
+          |  SELECT doc_id, hex(blob) AS hx,
+          |         unnest(generate_series(0, 7)) AS feat_idx
+          |  FROM b)
+          |SELECT doc_id, CAST(feat_idx AS INT) AS feat_idx,
+          |       round(CAST((strpos('0123456789ABCDEF', substring(hx, CAST(feat_idx * 2 + 1 AS INT), 1)) - 1) * 16
+          |             + (strpos('0123456789ABCDEF', substring(hx, CAST(feat_idx * 2 + 2 AS INT), 1)) - 1)
+          |             AS DOUBLE) / CAST(255.0 AS DOUBLE), 6) AS feat6
+          |FROM f""".stripMargin
     )
   }
 

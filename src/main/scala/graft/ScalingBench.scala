@@ -75,19 +75,50 @@ object ScalingBench {
       .count()
   }
 
-  def timeRun(cores: Int, docPath: String, nDocs: Long, iters: Int): (Double, Long) = {
+  def timeRun(cores: Int, docPath: String, nDocs: Long, iters: Int): (Double, Long) =
+    timeJob(cores, nDocs, iters)(headline(_, docPath, _))
+
+  private def timeJob(cores: Int, nRows: Long, iters: Int)
+                     (job: (SparkSession, Int) => Long): (Double, Long) = {
     val spark = session(cores)
     try {
-      headline(spark, docPath, -1) // JIT/codegen warmup (untimed)
+      job(spark, -1) // JIT/codegen warmup (untimed)
       val t0 = System.nanoTime()
-      (0 until iters).foreach(i => headline(spark, docPath, i))
+      (0 until iters).foreach(i => job(spark, i))
       val secs = (System.nanoTime() - t0) / 1e9
-      (secs, nDocs * iters)
+      (secs, nRows * iters)
     } finally {
       spark.stop()
       SparkSession.clearActiveSession()
       SparkSession.clearDefaultSession()
     }
+  }
+
+  /** Second scaling pair — the LLM-pipeline side: MinHash+LSH dedup
+    * over a replicated documents table (shingle -> signature -> band ->
+    * min-rep; the engine's codegen'd MinHashBands path). */
+  def setupTexts(sfDir: String, replicas: Int, path: String): Long = {
+    val spark = session(16)
+    try {
+      import org.apache.spark.sql.functions._
+      val d = spark.read.parquet(s"$sfDir/documents.parquet")
+        .crossJoin(spark.range(replicas).select(col("id").as("__rep")))
+        .select((col("doc_id") * replicas + col("__rep")).as("doc_id"),
+          concat(col("text"), lit(" r"), col("__rep").cast("string")).as("text"))
+      d.repartition(64).write.mode("overwrite").parquet(path)
+      spark.read.parquet(path).count()
+    } finally {
+      spark.stop()
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+    }
+  }
+
+  def dedupJob(spark: SparkSession, textPath: String, iteration: Int): Long = {
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet(textPath)
+      .filter(length(col("text")) >= lit(iteration % 2)) // defeat any reuse
+    graft.operators.TextOps.minhashDedup(numPerms = 16, shingleN = 3, bands = 4)(docs).count()
   }
 
   def main(args: Array[String]): Unit = {
@@ -106,11 +137,22 @@ object ScalingBench {
     val thrBig = docsBig / tBig
     val eff = (thrBig / thrSmall) / (nBig.toDouble / nSmall)
 
+    // pair 2: MinHash dedup over replicated document texts
+    val textPath = Files.createTempDirectory("grafttexts").toString + "/texts"
+    val nTexts = setupTexts(sfDir, replicas, textPath)
+    val (dSmall, txSmall) = timeJob(nSmall, nTexts, iters)(dedupJob(_, textPath, _))
+    val (dBig, txBig) = timeJob(nBig, nTexts, iters)(dedupJob(_, textPath, _))
+    val dThrSmall = txSmall / dSmall
+    val dThrBig = txBig / dBig
+    val dEff = (dThrBig / dThrSmall) / (nBig.toDouble / nSmall)
+
     val json =
       f"""{"metric":"pip_tile_docs_per_sec","sf":"$sfDir","iters":$iters,"replicas":$replicas,
          |"n_cores":$nSmall,"n_secs":$tSmall%.3f,"n_docs_per_sec":$thrSmall%.1f,
          |"n4_cores":$nBig,"n4_secs":$tBig%.3f,"n4_docs_per_sec":$thrBig%.1f,
-         |"scaling_efficiency":$eff%.3f}""".stripMargin.replace("\n", "")
+         |"scaling_efficiency":$eff%.3f,
+         |"dedup_n_docs_per_sec":$dThrSmall%.1f,"dedup_n4_docs_per_sec":$dThrBig%.1f,
+         |"dedup_scaling_efficiency":$dEff%.3f}""".stripMargin.replace("\n", "")
     println(json)
 
     val md =
@@ -129,6 +171,17 @@ object ScalingBench {
          || local[$nBig] (4N) | $tBig%.2f | $thrBig%.0f |
          |
          |**Scaling efficiency (N -> 4N): $eff%.3f** (target >= 0.8)
+         |
+         |Second pair — MinHash+LSH dedup (shingle -> signature -> band ->
+         |min-rep) over the documents table replicated x$replicas
+         |(${nTexts} docs/pass, text perturbed per replica):
+         |
+         || parallelism | wall (s) | throughput (docs/sec) |
+         ||---|---|---|
+         || local[$nSmall] (N) | $dSmall%.2f | $dThrSmall%.0f |
+         || local[$nBig] (4N) | $dBig%.2f | $dThrBig%.0f |
+         |
+         |**Dedup scaling efficiency (N -> 4N): $dEff%.3f**
          |
          |Calibration: this sandbox host itself caps near 0.8 — a pure-CPU
          |no-Spark baseline (32 spin processes vs 8) measures 0.797

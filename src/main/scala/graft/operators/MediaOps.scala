@@ -91,6 +91,49 @@ object MediaOps {
       hex(substring(col(blobCol), 9, 2)).as("f1"),
       md5(hex(col(blobCol))).as("content_id")))
 
+  /** Every `stride`-th byte of a binary value — the deterministic STUB
+    * standing in for a real image resize (no codecs in this container);
+    * binary-in/binary-out, the vectorized-resize contract shape. */
+  case class SubsampleBytes(child: Expression, stride: Int)
+      extends UnaryExpression with Serializable {
+    require(stride >= 1)
+    override def dataType: DataType = BinaryType
+    override def nullIntolerant: Boolean = true
+    override def prettyName: String = "subsample_bytes"
+    override protected def nullSafeEval(v: Any): Any = {
+      val b = v.asInstanceOf[Array[Byte]]
+      MediaOps.subsample(b, stride)
+    }
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = graft.operators.MediaOps.subsample($c, $stride);")
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  def subsample(b: Array[Byte], stride: Int): Array[Byte] =
+    Array.tabulate((b.length + stride - 1) / stride)(i => b(i * stride))
+
+  /** STUB resize: downsample the blob by `stride` and attach the resized
+    * size + content hash (a real resize swaps [[SubsampleBytes]] for a
+    * codec call; the plumbing — projection shape, hashing, schema — is
+    * what the engine owns). */
+  def resizeStub(blobCol: String, stride: Int)(df: DataFrame): DataFrame = {
+    val resized = ExpressionUtils.column(
+      SubsampleBytes(ExpressionUtils.expression(col(blobCol)), stride))
+    df.withColumn("resized", resized)
+      .withColumn("resized_size", octet_length(col("resized")))
+      .withColumn("resized_hash", md5(hex(col("resized"))))
+  }
+
+  /** STUB feature extraction: `dims` floats from the blob's leading
+    * bytes (byte/255) — the embedding-column bridge a real extractor
+    * (CLIP-style) would fill; emitted one row per (doc, dim) so the
+    * shape feeds the ANN/near-dup operators directly. */
+  def featureStub(blobCol: String, dims: Int)(df: DataFrame): DataFrame =
+    df.withColumn("feat_idx", explode(sequence(lit(0), lit(dims - 1))))
+      .withColumn("feat",
+        expr(s"cast(conv(hex(substring($blobCol, feat_idx + 1, 1)), 16, 10) as double)") / 255.0)
+
   /** Frame sampling: treat the blob as fixed-width frames, keep every
     * step-th frame's hash — the Spark-side shape of video frame
     * extraction (explode to frames, per-frame op, no driver loop). */
