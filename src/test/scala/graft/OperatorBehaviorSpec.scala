@@ -163,6 +163,23 @@ class OperatorBehaviorSpec extends AnyFunSuite {
     assert(recall >= 0.5, s"LSH recall $recall too low")
   }
 
+  test("IVF ANN finds most of brute-force top-k; self always lands in its own probed list") {
+    val dims = 16
+    val vecs = spark.range(0, 2000).select(col("id").as("vec_id"),
+      lit(0).as("label"),
+      transform(sequence(lit(1), lit(dims)),
+        d => sin(col("id") * d).cast(FloatType)).as("embedding"))
+    val q = Array.tabulate(dims)(d => math.sin(500.0 * (d + 1)))
+    val exact = AnnOps.cosineTopK(q, 10)(vecs).select("vec_id").as[Long].collect().toSet
+    val approx = AnnOps.ivfTopK(q, 10, nLists = 8, nProbe = 4)(vecs)
+      .select("vec_id").as[Long].collect().toSet
+    // the query IS vector 500: its list is by construction among the
+    // probed ones (argmax centroid of v = best centroid for q)
+    assert(approx.contains(500L), "identical vector missed by IVF probing")
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.5, s"IVF recall $recall too low")
+  }
+
   test("embedding-cosine near-dup pairs found within LSH buckets") {
     val dims = 16
     // pairs of near-identical vectors + unrelated ones
