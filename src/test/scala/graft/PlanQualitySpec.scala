@@ -117,6 +117,27 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(scans === 1, s"stats scanned the input $scans times:\n$plan")
   }
 
+  test("ANN list-partitioned storage: a probe query prunes to the probed partitions") {
+    // the scale path for ANN: vectors stored partitioned by their IVF
+    // list (or LSH bucket) — a query must read ONLY its probed lists
+    val dims = 16
+    val vecs = spark.range(0, 2000).select(col("id").as("vec_id"),
+      lit(0).as("label"),
+      transform(sequence(lit(1), lit(dims)),
+        d => sin(col("id") * d).cast("float")).as("embedding"))
+    val assigned = AnnOps.ivfListAssign(8)(vecs)
+    val p = java.nio.file.Files.createTempDirectory("graftivf").toString + "/vecs"
+    assigned.write.mode("overwrite").partitionBy("list").parquet(p)
+    val stored = spark.read.parquet(p)
+    val probe = stored.filter(col("list").isin(1, 3))
+    val plan = planOf(probe)
+    assert(plan.contains("PartitionFilters") && plan.contains("list"),
+      s"no partition pruning on the list key:\n$plan")
+    // and the pruning is real: only the probed partitions' rows return
+    val want = assigned.filter(col("list").isin(1, 3)).count()
+    assert(probe.count() === want && want > 0)
+  }
+
   test("morton key and cell id are codegen'd projections") {
     val df = stored.select(
       graft.functions.SpatialFunctions.mortonKey(col("x"), col("y")).as("mk"),
