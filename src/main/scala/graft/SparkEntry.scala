@@ -66,8 +66,15 @@ object SparkEntry {
         ((col("px") * 3 + col("py") * 5) % 256).cast(DoubleType).as("band2"))
   }
 
-  def entry(spark: SparkSession): DataFrame =
-    queries("q_crop_box")(spark, "/root/testdata/sf0.001")
+  /** Flagship: the north-star headline end-to-end — interleaved doc
+    * table -> explode point spans -> polygon PIP join (cover prefilter +
+    * exact prepared-geometry test) -> splitter tile assignment ->
+    * per-tile aggregate. */
+  def entry(spark: SparkSession): DataFrame = {
+    val p = pts(spark, "/root/testdata/sf0.001")
+    val inPoly = JoinOps.cropPolygon(hexWkt)(p)
+    TileOps.tileCounts(64.0, 0.0, 0.0)(inPoly)
+  }
 
   private def pts(s: SparkSession, dir: String): DataFrame = DocSynth.points(s, dir)
 

@@ -14,6 +14,12 @@ class EdgeCaseSpec extends AnyFunSuite {
   private lazy val empty = Faux.ramp(spark, Faux.Box3(0, 0, 0, 1, 1, 1), 2)
     .filter(col("x") > 100)
 
+  test("flagship entry runs end-to-end and yields tiles") {
+    val out = SparkEntry.entry(spark)
+    assert(out.count() > 0)
+    assert(out.columns.toSet === Set("tile_x", "tile_y", "n", "minx", "miny", "maxx", "maxy"))
+  }
+
   test("filters and aggregates handle empty input") {
     assert(PointOps.range(Seq(PointOps.DimRange("z", 0, 1)))(empty).count() === 0)
     assert(JoinOps.cropPolygon("POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))")(empty).count() === 0)
