@@ -99,7 +99,9 @@ object Manifest {
 
   private val KeyRe = """"(stage|fingerprint)":"([^"]*)"""".r
   private val PartRe = """\{"key":(-?\d+),"rows":(\d+),"digest":(-?\d+)\}""".r
-  private val D = """(-?[\d.eE+]+|Infinity|-Infinity|NaN)"""
+  // '-' inside the class too: exponents like 1.0E-7 ("-?" only covers
+  // the leading sign); fields are label-delimited so this is unambiguous
+  private val D = """(-?[\d.eE+-]+|Infinity|-Infinity|NaN)"""
   private val InfoRe =
     (""""info":\{"count":(\d+),"minx":""" + D + ""","maxx":""" + D +
       ""","miny":""" + D + ""","maxy":""" + D +

@@ -118,6 +118,11 @@ class PipelineSpec extends AnyFunSuite {
     assert(info === m.info && info.exists(_.count === 100))
     val json = Manifest.toJson(m)
     assert(Manifest.fromJson(json) === m)
+    // negative-exponent doubles (coordinates near zero) survive the
+    // hand-rolled JSON round trip
+    val tiny = m.copy(info = Some(Manifest.QuickStats(1, -1.5e-7, 2.5e-7,
+      -3.25e-9, 4.0e-9, -1.0e300, 1.0e300)))
+    assert(Manifest.fromJson(Manifest.toJson(tiny)) === tiny)
   }
 
   test("validate_resume recomputes a stage whose checkpoint data was tampered with") {
