@@ -42,8 +42,17 @@ object Pipeline {
     def dbl(k: String): Option[Double] = (config \ k).extractOpt[Double]
     def int(k: String): Option[Int] = (config \ k).extractOpt[Int]
     def bool(k: String): Option[Boolean] = (config \ k).extractOpt[Boolean]
-    def dbls(k: String): Option[Seq[Double]] = (config \ k).extractOpt[Seq[Double]]
-    def strs(k: String): Option[Seq[String]] = (config \ k).extractOpt[Seq[String]]
+    // json4s extracts a MISSING field as Some(Nil) for collection types;
+    // only a PRESENT array counts (a caller doing .map(a => a(0)) on a
+    // defaulted empty Seq would blow up)
+    def dbls(k: String): Option[Seq[Double]] = (config \ k) match {
+      case JArray(_) => (config \ k).extractOpt[Seq[Double]]
+      case _ => None
+    }
+    def strs(k: String): Option[Seq[String]] = (config \ k) match {
+      case JArray(_) => (config \ k).extractOpt[Seq[String]]
+      case _ => None
+    }
     def fingerprintSource: String = typ + JsonMethods.compact(JsonMethods.render(config))
   }
 
@@ -84,6 +93,11 @@ object Pipeline {
           case "ramp" => Faux.ramp(spark, b, n)
           case "constant" => Faux.constant(spark, b, n)
           case "uniform" => Faux.uniform(spark, b, n, st.int("seed").getOrElse(42).toLong)
+          case "normal" =>
+            val mean = st.dbls("mean").getOrElse(Seq(0.0, 0.0, 0.0))
+            val stdev = st.dbls("stdev").getOrElse(Seq(1.0, 1.0, 1.0))
+            Faux.normal(spark, (mean(0), mean(1), mean(2)),
+              (stdev(0), stdev(1), stdev(2)), n, st.int("seed").getOrElse(42).toLong)
           case m => throw new IllegalArgumentException(s"faux mode $m")
         }
       case "readers.las" =>
@@ -208,7 +222,10 @@ object Pipeline {
         (if (byTile.nonEmpty) w.partitionBy(byTile: _*) else w).parquet(st.str("path").get)
         d
       case "writers.las" =>
-        val d = in.get
+        // optional deterministic file order (a LAS byte stream is
+        // sequential; unordered writes are iterator-order)
+        val d = st.strs("order_by").filter(_.nonEmpty)
+          .map(cs => in.get.orderBy(cs.map(col): _*)).getOrElse(in.get)
         val fmt = st.int("format").getOrElse(3)
         val xf = (st.dbls("scale"), st.dbls("offset")) match {
           case (Some(s), Some(o)) => LasWriter.XForms(s(0), s(1), s(2), o(0), o(1), o(2))

@@ -31,6 +31,25 @@ class EdgeCaseSpec extends AnyFunSuite {
     assert(GroundOps.pmf()(empty).count() === 0)
   }
 
+  test("faux normal mode and ordered LAS write run through the pipeline") {
+    val out = java.nio.file.Files.createTempDirectory("graftnorm").toString + "/n.las"
+    val spec =
+      s"""{ "pipeline": [
+         |  {"type": "readers.faux", "mode": "normal", "count": 500,
+         |   "mean": [100.0, 200.0, 50.0], "stdev": [10.0, 10.0, 5.0], "seed": 7},
+         |  {"type": "writers.las", "path": "$out", "format": 0,
+         |   "order_by": ["span_idx"]}
+         |]}""".stripMargin
+    val res = graft.plans.Pipeline.run(spark, spec)
+    assert(res.df.count() === 500)
+    val (h, rows) = graft.sources.LasDecode.readPoints(out)
+    assert(h.pointCount === 500)
+    // normal around the mean: bulk of mass within 4 sigma
+    val xs = rows.map(_.getDouble(graft.sources.LasDecode.schema.fieldIndex("x")))
+    assert(math.abs(xs.sum / xs.size - 100.0) < 3.0, s"mean ${xs.sum / xs.size}")
+    assert(xs.count(x => math.abs(x - 100.0) > 40.0) === 0)
+  }
+
   test("single-point input flows through tiling and joins") {
     val one = Faux.constant(spark, Faux.Box3(5, 5, 5, 5, 5, 5), 1)
     assert(TileOps.chipper(10)(one).count() === 1)

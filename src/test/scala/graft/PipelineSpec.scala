@@ -181,6 +181,33 @@ class PipelineSpec extends AnyFunSuite {
     } finally spark.sparkContext.removeSparkListener(listener)
   }
 
+  test("translate-style chain exercises the round-2 stages end-to-end") {
+    // distributed LAS read -> composed reprojection (LCC ft -> geo ->
+    // web mercator through the SRS registry) -> crop -> LAS 1.2 write,
+    // all through the declarative spec
+    val out = tmp() + "/rt.las"
+    val spec =
+      s"""{ "pipeline": [
+         |  {"type": "readers.las", "path": "${TestSpark.P1065}", "distributed": true},
+         |  {"type": "filters.reprojection", "in_srs": "lcc:oregon-ft", "out_srs": "EPSG:3857"},
+         |  {"type": "filters.crop",
+         |   "bounds": [-1.5E7, 0.0, -1.3E7, 7.0E6]},
+         |  {"type": "writers.las", "path": "$out", "format": 1,
+         |   "scale": [0.001, 0.001, 0.01], "offset": [-13700000.0, 5500000.0, 0.0]}
+         |]}""".stripMargin
+    val res = Pipeline.run(spark, spec)
+    assert(res.df.count() === 1065) // Autzen fits well inside the crop box
+    val (h, rows) = graft.sources.LasDecode.readPoints(out)
+    assert(h.pointFormat === 1 && h.pointCount === 1065)
+    // quantization at mm-scale: decoded coords within half a step of
+    // the reprojected originals
+    val want = res.df.orderBy("span_idx").select("x", "y").collect()
+    val xi = graft.sources.LasDecode.schema.fieldIndex("x")
+    want.zip(rows).foreach { case (w, r) =>
+      assert(math.abs(w.getDouble(0) - r.getDouble(xi)) <= 0.0005 + 1e-9)
+    }
+  }
+
   test("span-sequence invariant holds through a filtering pipeline") {
     val docs = DocSynth.cachedDocs(spark, "/root/testdata/sf0.001")
     val pts = Model.explodePoints(docs)
