@@ -6,6 +6,16 @@ import org.apache.spark.sql.SparkSession
   * warmed and reported separately as `synth` so per-query numbers
   * measure query work, not input construction. */
 object Bench {
+  /** Times one query thunk. A crashed query must surface as a -1.0
+    * sentinel (with the error printed), never as a normal-looking fast
+    * wall time that reads as a speedup in BENCH_rN. */
+  def timed(name: String)(run: () => Unit): (String, Double) = {
+    val t = System.nanoTime()
+    try { run(); name -> (System.nanoTime() - t) / 1e9 }
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] $name FAILED: $e"); name -> -1.0 }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -21,9 +31,7 @@ object Bench {
     graft.sources.DocSynth.cachedDocs(spark, sfDir).count()
     val synthSec = (System.nanoTime() - t0) / 1e9
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t) / 1e9
+      timed(name)(() => fn(spark, sfDir).count())
     }
     // scale-path evidence beyond the driver queries: the approximate
     // (map-only-assignment) chipper on an 8x-replicated cloud — the
@@ -45,14 +53,9 @@ object Bench {
         }
       }))
     val extraResults = extras.map { case (name, setup) =>
-      try {
-        val run = setup()
-        val t = System.nanoTime()
-        run()
-        name -> (System.nanoTime() - t) / 1e9
-      } catch { case e: Throwable =>
-        System.err.println(s"[bench] $name: $e"); name -> -1.0
-      }
+      try { timed(name)(setup()) }
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] $name setup FAILED: $e"); name -> -1.0 }
     }
     val qs = (results ++ extraResults :+ ("synth" -> synthSec))
       .map { case (k, v) => "\"" + k + "\":" + v }

@@ -69,9 +69,12 @@ object GroundOps {
     val cy = floor(col("y") / p.cellSize).cast(LongType)
     // min-Z surface raster (only occupied cells; morphology over occupied
     // cells only — matching a point-cloud PMF rather than a dense raster)
+    // materialized once (eager localCheckpoint, ContextCleaner-freed —
+    // not a CacheManager entry that outlives the query): read by the
+    // first erosion AND by `occupied` on every morphology round
     var surface = df.select(cx.as("cx"), cy.as("cy"), col("z"))
       .groupBy("cx", "cy").agg(min("z").as("v"))
-      .cache()
+      .localCheckpoint(eager = true)
     val occupied = surface.select("cx", "cy")
 
     val windows = windowLadder(p)

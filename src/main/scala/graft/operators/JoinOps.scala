@@ -412,12 +412,15 @@ object JoinOps {
   def statisticalOutlierRemoval(k: Int, multThresh: Double, level: Int,
                                 space: CellSpace = CellSpace.default)(df: DataFrame): DataFrame = {
     val nn = exactKnnDistances(df, df, k, level, space, dims3 = true, excludeSelf = true)
-    // cache: meanDist is tiny (one row per point) but feeds BOTH the
-    // global threshold and the final join
+    // meanDist is tiny (one narrow row per point) but feeds BOTH the
+    // global threshold and the final join: materialize once via eager
+    // localCheckpoint (SOR is already eager through the escalation loop)
+    // so the blocks are ContextCleaner-freed when the caller drops the
+    // frame, instead of pinning a CacheManager entry forever.
     val meanDist = nn.select(col("doc_id"), col("span_idx"),
       (aggregate(transform(col("__nnd2"), d => sqrt(d)), lit(0.0), (a, v) => a + v)
         / size(col("__nnd2"))).as("__md"))
-      .cache()
+      .localCheckpoint(eager = true)
     val thresh = meanDist.agg(
       (avg("__md") + lit(multThresh) * stddev_samp(col("__md"))).as("__t"))
     df.join(meanDist, Seq("doc_id", "span_idx"), "left")

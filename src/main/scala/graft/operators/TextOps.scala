@@ -299,34 +299,61 @@ object TextOps {
       .groupBy(col("doc_id")).agg(min(col("band_rep")).as("rep_doc_id"))
   }
 
-  /** Full connected-components closure of the LSH band graph: iterate
-    * min-rep propagation (doc -> min rep over its bands; band -> min rep
-    * over its docs) to fixpoint, so transitive chains A~B~C collapse to
-    * one representative even when A and C share no band. Converges in
-    * O(log(longest chain)) rounds; each round is two small shuffles over
-    * the (doc, band) edge list — the standard large-scale
-    * label-propagation shape. */
+  /** Full connected-components closure of the LSH band graph: each round
+    * does one band-hop (doc -> min rep over its bands; band -> min rep
+    * over its docs) followed by one pointer-jumping step (rep' =
+    * rep(rep): labels joined through labels), so the covered chain
+    * distance DOUBLES per round — a transitive chain of L docs converges
+    * in O(log L) rounds, not L. Throws if `maxIters` rounds do not reach
+    * a fixpoint rather than silently returning truncated (under-deduped)
+    * labels. Each round is three small shuffles over the (doc, band)
+    * edge list plus a self-join on the label table. */
   def minhashDedupCC(numPerms: Int = 16, shingleN: Int = 3, bands: Int = 4,
                      maxIters: Int = 20)(df: DataFrame): DataFrame = {
     val edges = df.select(col("doc_id"),
-      explode(lshBandKeys(numPerms, shingleN, bands)).as("band")).cache()
-    var labels = edges.groupBy("doc_id")
-      .agg(min(col("doc_id")).as("rep")) // initial: self
-    var converged = false
-    var iter = 0
-    while (!converged && iter < maxIters) {
-      val bandRep = edges.join(labels, "doc_id")
-        .groupBy("band").agg(min("rep").as("band_rep"))
-      val newLabels = edges.join(bandRep, "band")
-        .groupBy("doc_id").agg(min("band_rep").as("rep"))
-        .localCheckpoint(eager = true) // truncate the iterative lineage
-      val changed = newLabels.as("n").join(labels.as("o"), "doc_id")
-        .filter(col("n.rep") =!= col("o.rep")).limit(1).count()
-      labels = newLabels
-      converged = changed == 0
-      iter += 1
-    }
-    labels.withColumnRenamed("rep", "rep_doc_id")
+      explode(lshBandKeys(numPerms, shingleN, bands)).as("band"))
+    ccFromEdges(edges, maxIters)
+  }
+
+  /** Connected components over an explicit (doc_id, band) bipartite edge
+    * list — the engine of [[minhashDedupCC]], exposed so the convergence
+    * behavior can be specced on planted long-chain graphs independent of
+    * minhash band mechanics. Returns (doc_id, rep_doc_id) with rep the
+    * component-wide min doc_id. */
+  def ccFromEdges(edgeDf: DataFrame, maxIters: Int = 20): DataFrame = {
+    val edges = edgeDf.cache()
+    try {
+      var labels = edges.groupBy("doc_id")
+        .agg(min(col("doc_id")).as("rep")) // initial: self
+      var converged = false
+      var iter = 0
+      while (!converged && iter < maxIters) {
+        val bandRep = edges.join(labels, "doc_id")
+          .groupBy("band").agg(min("rep").as("band_rep"))
+        val hopped = edges.join(bandRep, "band")
+          .groupBy("doc_id").agg(min("band_rep").as("rep"))
+        // Pointer jumping: route every label through its label's label
+        // (rep' = rep(rep)). rep is always a doc_id present in `labels`
+        // (it is a min over doc_ids on the edge list), so the lookup is
+        // total; the left join + coalesce is belt-and-braces only.
+        val jumpTable = labels
+          .select(col("doc_id").as("rep"), col("rep").as("rep2"))
+        val newLabels = hopped
+          .join(jumpTable, Seq("rep"), "left")
+          .select(col("doc_id"),
+            least(coalesce(col("rep2"), col("rep")), col("rep")).as("rep"))
+          .localCheckpoint(eager = true) // truncate the iterative lineage
+        val changed = newLabels.as("n").join(labels.as("o"), "doc_id")
+          .filter(col("n.rep") =!= col("o.rep")).limit(1).count()
+        labels = newLabels
+        converged = changed == 0
+        iter += 1
+      }
+      require(converged,
+        s"connected-components closure did not converge in $maxIters rounds " +
+          "(a transitive near-dup chain longer than ~2^rounds hops); raise maxIters")
+      labels.withColumnRenamed("rep", "rep_doc_id")
+    } finally edges.unpersist()
   }
 
   /** n-gram Jaccard similarity of candidate pairs: |A∩B| / |A∪B| on

@@ -56,7 +56,11 @@ object TileOps {
     * order along the recursion, which equals the reference's emit order).
     */
   def chipper(capacity: Long)(df0: DataFrame): DataFrame = {
+    // cache serves the per-round aggregates of the driver loop and is
+    // released before returning (the final lazy join re-reads the input
+    // once); long-lived sessions must not accrete CacheManager entries
     val df = df0.cache()
+    try {
     val n = df.count()
     if (n == 0) return df.withColumn("chip", lit(0))
     val m = ((n + capacity - 1) / capacity).toInt
@@ -123,8 +127,9 @@ object TileOps {
     val chipByNode = map(nodes.toSeq.flatMap { case (id, nd) =>
       Seq(lit(id), lit(nd.pl)) }: _*)
     val assignment = cur.select(col("doc_id"), col("span_idx"),
-      chipByNode(col("__node")).as("chip"))
-    df.join(assignment, Seq("doc_id", "span_idx"))
+      chipByNode(col("__node")).as("chip")).localCheckpoint(eager = true)
+    df0.join(assignment, Seq("doc_id", "span_idx"))
+    } finally df.unpersist()
   }
 
   /** Approximate chipper — the scale path promised in SCALE.md: same
@@ -136,7 +141,8 @@ object TileOps {
     * within the quantile sketch's error of the exact sizes; use
     * [[chipper]] when exact reference parity matters. */
   def chipperApprox(capacity: Long, quantiles: Int = 200)(df0: DataFrame): DataFrame = {
-    val df = df0.cache()
+    val df = df0.cache() // released in finally; see chipper
+    try {
     val total = df.count()
     if (total == 0) return df.withColumn("chip", lit(0L))
     val grid = (0 to quantiles).map(_.toDouble / quantiles).toArray
@@ -179,8 +185,11 @@ object TileOps {
       }
       round += 1
     }
-    df.join(cur.select(col("doc_id"), col("span_idx"), col("__node").as("chip")),
+    df0.join(
+      cur.select(col("doc_id"), col("span_idx"), col("__node").as("chip"))
+        .localCheckpoint(eager = true),
       Seq("doc_id", "span_idx"))
+    } finally df.unpersist()
   }
 
   /** writers.rialto's LOD pyramid (RialtoCommon.cpp:79-94): level L of a

@@ -12,4 +12,18 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object ColumnBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Number of plans pinned in the session's CacheManager. Used by the
+    * cache-hygiene spec: operators that `.cache()` internally must
+    * release the entry before returning (a leaked entry is pinned for
+    * the session's lifetime — steady memory creep in long-lived
+    * sessions), so running them must not change this count.
+    * `sharedState` is private[sql] and `cachedData` class-private,
+    * hence this bridge + reflection. */
+  def cacheEntryCount(spark: SparkSession): Int = {
+    val cm = spark.asInstanceOf[classic.SparkSession].sharedState.cacheManager
+    val m = cm.getClass.getDeclaredMethod("cachedData")
+    m.setAccessible(true)
+    m.invoke(cm).asInstanceOf[scala.collection.immutable.IndexedSeq[_]].size
+  }
 }

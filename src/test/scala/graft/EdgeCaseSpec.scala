@@ -20,6 +20,28 @@ class EdgeCaseSpec extends AnyFunSuite {
     assert(out.columns.toSet === Set("tile_x", "tile_y", "n", "minx", "miny", "maxx", "maxy"))
   }
 
+  test("bench timer reports a crashed query as -1, not a fast wall time") {
+    val (name, sec) = Bench.timed("boom")(() => throw new RuntimeException("deliberate"))
+    assert(name === "boom" && sec === -1.0)
+    val (_, ok) = Bench.timed("fine")(() => ())
+    assert(ok >= 0.0)
+  }
+
+  test("internally-caching operators leave no CacheManager entries behind") {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    import spark.implicits._
+    val before = ColumnBridge.cacheEntryCount(spark)
+    val pts = Faux.ramp(spark, Faux.Box3(0, 0, 0, 100, 100, 10), 400)
+    TileOps.chipper(50)(pts).count()
+    TileOps.chipperApprox(50)(pts).count()
+    JoinOps.statisticalOutlierRemoval(4, 2.0, 4)(pts).count()
+    GroundOps.pmf()(pts).count()
+    val edges = Seq((1L, "a"), (2L, "a"), (3L, "b"), (2L, "b")).toDF("doc_id", "band")
+    TextOps.ccFromEdges(edges).count()
+    assert(ColumnBridge.cacheEntryCount(spark) === before,
+      "an operator leaked a .cache() entry into the session CacheManager")
+  }
+
   test("filters and aggregates handle empty input") {
     assert(PointOps.range(Seq(PointOps.DimRange("z", 0, 1)))(empty).count() === 0)
     assert(JoinOps.cropPolygon("POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))")(empty).count() === 0)

@@ -141,6 +141,31 @@ class OperatorBehaviorSpec extends AnyFunSuite {
     assert(reps(4L) === 4L)
   }
 
+  test("CC closure converges logarithmically on a planted 150-hop chain") {
+    // doc_i ~ doc_{i+1} via band b_i and nothing else: a pure 150-hop
+    // transitive chain. Pointer jumping must close it in O(log L) rounds;
+    // the pre-fix one-band-hop-per-round propagation needed ~150.
+    val chain = 150
+    val edges = (0 until chain).flatMap { i =>
+      Seq((i.toLong, s"b$i"), ((i + 1).toLong, s"b$i"))
+    }.toDF("doc_id", "band")
+    val reps = TextOps.ccFromEdges(edges, maxIters = 12)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(reps.size === chain + 1)
+    assert(reps.values.forall(_ === 0L), s"chain not fully closed in 12 rounds")
+  }
+
+  test("CC closure fails loudly instead of silently truncating long chains") {
+    val chain = 150
+    val edges = (0 until chain).flatMap { i =>
+      Seq((i.toLong, s"b$i"), ((i + 1).toLong, s"b$i"))
+    }.toDF("doc_id", "band")
+    val ex = intercept[IllegalArgumentException] {
+      TextOps.ccFromEdges(edges, maxIters = 3).collect()
+    }
+    assert(ex.getMessage.contains("did not converge"))
+  }
+
   test("SimHash hamming distance small for near-dups, large for distinct") {
     val a = SimHash64.of("the quick brown fox jumps over the lazy dog every single day".split(" ").toSeq)
     val b = SimHash64.of("the quick brown fox jumps over the lazy cat every single day".split(" ").toSeq)
