@@ -86,12 +86,20 @@ object Manifest {
   }
 
   // ---- JSON (hand-rolled: flat, stable ordering, no extra deps) ----
+
+  // Non-finite bounds (empty-input stages yield Infinity mins) must stay
+  // STANDARD JSON — bare Infinity/NaN tokens parse here but are rejected
+  // by every off-the-shelf JSON consumer of the manifest file, so they
+  // are emitted as quoted strings.
+  private def jsonDouble(d: Double): String =
+    if (java.lang.Double.isFinite(d)) d.toString else "\"" + d.toString + "\""
+
   def toJson(m: StageManifest): String = {
     val parts = m.partitions.map(p =>
       s"""{"key":${p.key},"rows":${p.rows},"digest":${p.digest}}""").mkString("[", ",", "]")
     val inputs = m.inputs.map(i => "\"" + i + "\"").mkString("[", ",", "]")
     val info = m.info.map(q =>
-      s""","info":{"count":${q.count},"minx":${q.minx},"maxx":${q.maxx},"miny":${q.miny},"maxy":${q.maxy},"minz":${q.minz},"maxz":${q.maxz}}""")
+      s""","info":{"count":${q.count},"minx":${jsonDouble(q.minx)},"maxx":${jsonDouble(q.maxx)},"miny":${jsonDouble(q.miny)},"maxy":${jsonDouble(q.maxy)},"minz":${jsonDouble(q.minz)},"maxz":${jsonDouble(q.maxz)}}""")
       .getOrElse("")
     s"""{"stage":"${m.stage}","fingerprint":"${m.fingerprint}","inputs":$inputs,
        |"totalRows":${m.totalRows}$info,"partitions":$parts}""".stripMargin.replace("\n", "")
@@ -100,8 +108,9 @@ object Manifest {
   private val KeyRe = """"(stage|fingerprint)":"([^"]*)"""".r
   private val PartRe = """\{"key":(-?\d+),"rows":(\d+),"digest":(-?\d+)\}""".r
   // '-' inside the class too: exponents like 1.0E-7 ("-?" only covers
-  // the leading sign); fields are label-delimited so this is unambiguous
-  private val D = """(-?[\d.eE+-]+|Infinity|-Infinity|NaN)"""
+  // the leading sign); fields are label-delimited so this is unambiguous.
+  // Non-finite values arrive as quoted strings (standard-JSON emit).
+  private val D = """(-?[\d.eE+-]+|"-?Infinity"|"NaN")"""
   private val InfoRe =
     (""""info":\{"count":(\d+),"minx":""" + D + ""","maxx":""" + D +
       ""","miny":""" + D + ""","maxy":""" + D +
@@ -115,9 +124,10 @@ object Manifest {
     val parts = PartRe.findAllMatchIn(s)
       .map(m => PartitionLineage(m.group(1).toLong, m.group(2).toLong, m.group(3).toLong))
       .toSeq
+    def d(t: String): Double = t.stripPrefix("\"").stripSuffix("\"").toDouble
     val info = InfoRe.findFirstMatchIn(s).map(m => QuickStats(m.group(1).toLong,
-      m.group(2).toDouble, m.group(3).toDouble, m.group(4).toDouble,
-      m.group(5).toDouble, m.group(6).toDouble, m.group(7).toDouble))
+      d(m.group(2)), d(m.group(3)), d(m.group(4)),
+      d(m.group(5)), d(m.group(6)), d(m.group(7))))
     StageManifest(kv.getOrElse("stage", ""), kv.getOrElse("fingerprint", ""), inputs, parts, info)
   }
 

@@ -151,7 +151,23 @@ object Pipeline {
         TileOps.splitter(st.dbl("length").getOrElse(1000.0),
           st.dbl("origin_x").getOrElse(0.0), st.dbl("origin_y").getOrElse(0.0))(in.get)
       case "filters.chipper" =>
-        TileOps.chipper(st.int("capacity").getOrElse(5000).toLong)(in.get)
+        // "exact" reproduces the reference's chip sizes bit-for-bit
+        // (iterative rank windows — fixture-parity path); "approx" is
+        // the 100x-scale path (one aggregate per round, map-only
+        // assignment, sizes within the quantile sketch's error of
+        // capacity); "auto" routes on input size.
+        val capacity = st.int("capacity").getOrElse(5000).toLong
+        st.str("method").getOrElse("exact") match {
+          case "exact"  => TileOps.chipper(capacity)(in.get)
+          case "approx" => TileOps.chipperApprox(capacity)(in.get)
+          case "auto" =>
+            val threshold = st.int("auto_threshold").getOrElse(10000000).toLong
+            val df = in.get
+            if (df.count() > threshold) TileOps.chipperApprox(capacity)(df)
+            else TileOps.chipper(capacity)(df)
+          case m => throw new IllegalArgumentException(
+            s"filters.chipper method must be exact|approx|auto, got $m")
+        }
       case "filters.stats" =>
         AggOps.stats(st.strs("dimensions").getOrElse(Seq("x", "y", "z")),
           st.strs("enumerate").getOrElse(Nil).toSet)(in.get)
@@ -300,9 +316,16 @@ object Pipeline {
       val wantCk = ckRoot.isDefined &&
         (st.bool("checkpoint").getOrElse(false) || st.typ.startsWith("writers."))
       // a resumed writer whose declared output path no longer exists must
-      // re-run — resuming would report success with no output materialized
+      // re-run — resuming would report success with no output materialized.
+      // Resolved through the session's Hadoop FileSystem so hdfs://,
+      // s3a:// and file:// destinations are all checked (a bare
+      // Files.exists would see every remote URI as absent and force a
+      // rewrite on every resume).
       val destinationIntact = !st.typ.startsWith("writers.") ||
-        st.str("path").forall(p => java.nio.file.Files.exists(java.nio.file.Paths.get(p)))
+        st.str("path").forall { p =>
+          val hp = new org.apache.hadoop.fs.Path(p)
+          hp.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(hp)
+        }
       // optional deep check: recompute the checkpoint's lineage digests
       // before trusting it (bit rot / out-of-band edits)
       def digestsIntact = !st.bool("validate_resume").getOrElse(false) ||

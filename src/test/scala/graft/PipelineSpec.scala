@@ -58,6 +58,35 @@ class PipelineSpec extends AnyFunSuite {
     assert(m.totalRows === spark.read.parquet(s"$ck/001_filters_range/data").count())
   }
 
+  test("approx chipper is pipeline-reachable and honors the capacity contract through resume") {
+    val ck = tmp()
+    val spec =
+      s"""{ "pipeline": [
+         |  {"type": "readers.faux", "mode": "uniform",
+         |   "bounds": [0, 0, 0, 1000, 1000, 50], "count": 20000, "seed": 11},
+         |  {"type": "filters.chipper", "method": "approx", "capacity": 1000,
+         |   "checkpoint": true}
+         |], "checkpoint_root": "$ck" }""".stripMargin
+    val first = Pipeline.run(spark, spec)
+    val sizes = first.df.groupBy("chip").count()
+      .collect().map(_.getLong(1))
+    // contract: chips bounded by capacity * (1 + quantile-sketch slack)
+    assert(sizes.max <= (1000 * 1.3).toLong,
+      s"approx chip ${sizes.max} exceeds capacity + sketch slack")
+    assert(sizes.length >= 15, s"only ${sizes.length} chips for 20k pts / 1k capacity")
+    // identical re-run resumes from the checkpoint, bit-identical output
+    val second = Pipeline.run(spark, spec)
+    assert(second.resumedStages.contains("001_filters_chipper"))
+    assert(second.df.groupBy("chip").count().collect().map(_.getLong(1)).sorted
+      === sizes.sorted)
+    // method is part of the stage fingerprint: switching to exact re-runs
+    val exactSpec = spec.replace("\"approx\"", "\"exact\"")
+    val third = Pipeline.run(spark, exactSpec)
+    assert(!third.resumedStages.contains("001_filters_chipper"))
+    val exactSizes = third.df.groupBy("chip").count().collect().map(_.getLong(1))
+    assert(exactSizes.max <= 1000, "exact chipper must never exceed capacity")
+  }
+
   test("multi-input DAG: two tagged readers merge n-ary through checkpoint and resume") {
     val ck = tmp(); val outP = tmp() + "/out"
     val spec =
@@ -109,6 +138,24 @@ class PipelineSpec extends AnyFunSuite {
     assert(spark.read.parquet(outP).count() === 100)
   }
 
+  test("writer destination check resolves file:-URIs through the Hadoop FS") {
+    // a file:// destination must be seen as intact on resume — a bare
+    // java.nio Files.exists would treat any URI as absent and force a
+    // rewrite on every invocation (the round-2 local-FS-only bug)
+    val ck = tmp(); val outDir = tmp() + "/out"
+    val spec =
+      s"""{ "pipeline": [
+         |  {"type": "readers.faux", "mode": "ramp",
+         |   "bounds": [0, 0, 0, 10, 10, 10], "count": 100},
+         |  {"type": "writers.parquet", "path": "file://$outDir"}
+         |], "checkpoint_root": "$ck" }""".stripMargin
+    Pipeline.run(spark, spec)
+    assert(spark.read.parquet(outDir).count() === 100)
+    val again = Pipeline.run(spark, spec)
+    assert(again.resumedStages.contains("001_writers_parquet"),
+      s"file:-URI destination should resume, got ran=${again.ranStages}")
+  }
+
   test("manifest digests detect partition corruption") {
     val ck = tmp()
     val df = sources.Faux.ramp(spark, sources.Faux.Box3(0, 0, 0, 10, 10, 10), 100)
@@ -123,6 +170,16 @@ class PipelineSpec extends AnyFunSuite {
     val tiny = m.copy(info = Some(Manifest.QuickStats(1, -1.5e-7, 2.5e-7,
       -3.25e-9, 4.0e-9, -1.0e300, 1.0e300)))
     assert(Manifest.fromJson(Manifest.toJson(tiny)) === tiny)
+    // non-finite bounds (empty-stage degenerate) round-trip AND stay
+    // standard JSON (quoted, never a bare Infinity/NaN token)
+    val inf = m.copy(info = Some(Manifest.QuickStats(0,
+      Double.PositiveInfinity, Double.NegativeInfinity,
+      Double.PositiveInfinity, Double.NegativeInfinity, Double.NaN, Double.NaN)))
+    val infJson = Manifest.toJson(inf)
+    assert(!infJson.matches(""".*[:\[,]\s*-?(Infinity|NaN).*"""),
+      s"bare non-finite token in: $infJson")
+    val back = Manifest.fromJson(infJson).info.get
+    assert(back.minx.isPosInfinity && back.maxx.isNegInfinity && back.minz.isNaN)
   }
 
   test("validate_resume recomputes a stage whose checkpoint data was tampered with") {
