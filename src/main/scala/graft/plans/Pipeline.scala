@@ -101,11 +101,15 @@ object Pipeline {
           case m => throw new IllegalArgumentException(s"faux mode $m")
         }
       case "readers.las" =>
-        // distributed: one executor task per matched file (glob-capable);
+        // "splits": N fans ONE large file across N tasks at record
+        // offsets; "distributed": one task per matched file (glob);
         // default stays the driver decode for single-fixture parity runs
-        if (st.bool("distributed").getOrElse(false))
-          LasDecode.asDistributedDataFrame(spark, st.str("path").get)
-        else LasDecode.asDataFrame(spark, st.str("path").get)
+        st.int("splits") match {
+          case Some(n) => LasDecode.asSplitDataFrame(spark, st.str("path").get, n)
+          case None if st.bool("distributed").getOrElse(false) =>
+            LasDecode.asDistributedDataFrame(spark, st.str("path").get)
+          case None => LasDecode.asDataFrame(spark, st.str("path").get)
+        }
 
       // ---- filters -----------------------------------------------------
       case "filters.range" =>
@@ -252,7 +256,13 @@ object Pipeline {
             LasWriter.XForms(a("x").scale, a("y").scale, a("z").scale,
               a("x").offset, a("y").offset, a("z").offset)
         }
-        LasWriter.write(st.str("path").get, d, fmt, xf)
+        // shard_column routes to the executor-parallel sharded writer
+        // (one LAS per distinct shard value under "path" as a directory);
+        // default stays the single-file driver emit for fixture parity
+        st.str("shard_column") match {
+          case Some(sc) => LasWriter.writeSharded(st.str("path").get, d, fmt, xf, sc)
+          case None => LasWriter.write(st.str("path").get, d, fmt, xf)
+        }
         d
       case "writers.csv" =>
         val d = in.get

@@ -86,11 +86,21 @@ object LasDecode {
     StructField("nir", IntegerType, nullable = false),
     StructField("scanner_channel", ShortType, nullable = false)))
 
+  /** Single-buffer decodes index with Int offsets: fail clearly on
+    * files past 2 GiB (1.4's u64 counts allow them) instead of wrapped
+    * offsets and garbage records — large files go through
+    * [[asSplitDataFrame]], which bounds each task's buffer. */
+  private def requireSingleBuffer(h: LasHeader): Unit =
+    require(h.dataOffset + h.pointCount * h.recordLen <= Int.MaxValue,
+      s"file too large for single-buffer decode (${h.pointCount} records); " +
+        "use the offset-split ingest (asSplitDataFrame / splits config)")
+
   def readPoints(path: String, docId: String = "las"): (LasHeader, Vector[Row]) = {
     val bytes = Files.readAllBytes(Paths.get(path))
     val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
     val h = readHeader(bb)
     require(h.pointFormat <= 10, s"unsupported point format ${h.pointFormat}")
+    requireSingleBuffer(h)
     val rows = Vector.newBuilder[Row]
     var i = 0L
     while (i < h.pointCount) {
@@ -155,9 +165,8 @@ object LasDecode {
     * self-describing; the reference reads files serially, one Stage per
     * file). `pathGlob` may match many files; doc_id = file name. The
     * per-record decode is the same [[decodeRecord]] the driver path and
-    * the byte-fixture goldens pin. For files too large for one task,
-    * split ingest at row offsets (records are fixed-length) — not needed
-    * at fixture scale. */
+    * the byte-fixture goldens pin. Files too large for one task's buffer
+    * go through [[asSplitDataFrame]] instead (fail-fast guard here). */
   def asDistributedDataFrame(spark: SparkSession, pathGlob: String): DataFrame = {
     import org.apache.spark.sql.Row
     val bin = spark.read.format("binaryFile").load(pathGlob)
@@ -169,9 +178,54 @@ object LasDecode {
       val bytes = r.getAs[Array[Byte]](1)
       val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
       val h = readHeader(bb)
+      requireSingleBuffer(h)
       (0L until h.pointCount).iterator.map { i =>
         decodeRecord(bb, (h.dataOffset + i * h.recordLen).toInt, h, docId, i.toInt)
       }
     }(rowEnc)
+  }
+
+  /** Offset-SPLIT LAS ingest: ONE large file fanned across `numSplits`
+    * executor tasks at record boundaries (records are fixed-length, so a
+    * split is a pure [startRecord, endRecord) range — the same move
+    * Parquet/CSV splittable sources make). The driver reads only the
+    * header; each task opens the file through the Hadoop FileSystem
+    * (file://, hdfs://, s3a:// all resolve), seeks to its range, and
+    * decodes with the same [[decodeRecord]] the goldens pin. span_idx
+    * stays the ABSOLUTE record index, so split count never changes the
+    * decoded frame. A single 500 GB LAS file becomes numSplits parallel
+    * scans instead of pinning one executor. */
+  def asSplitDataFrame(spark: SparkSession, path: String, numSplits: Int,
+                       docId: String = "las"): DataFrame = {
+    require(numSplits >= 1, s"numSplits must be >= 1, got $numSplits")
+    val headBytes = {
+      val in = Files.newInputStream(Paths.get(path))
+      try in.readNBytes(375) finally in.close()
+    }
+    val h = readHeader(ByteBuffer.wrap(headBytes).order(ByteOrder.LITTLE_ENDIAN))
+    require(h.pointFormat <= 10, s"unsupported point format ${h.pointFormat}")
+    val per = (h.pointCount + numSplits - 1) / numSplits
+    require(per * h.recordLen <= Int.MaxValue,
+      s"split of $per records exceeds one task's buffer; raise numSplits")
+    val ranges = (0 until numSplits)
+      .map(i => (i * per, math.min((i + 1) * per, h.pointCount)))
+      .filter { case (s, e) => e > s }
+    val rowEnc = org.apache.spark.sql.Encoders.row(schema)
+    val absPath = Paths.get(path).toAbsolutePath.toString
+    import spark.implicits._
+    spark.createDataset(ranges).repartition(ranges.size)
+      .flatMap { case (startRec, endRec) =>
+        val hp = new org.apache.hadoop.fs.Path(absPath)
+        val fs = hp.getFileSystem(new org.apache.hadoop.conf.Configuration())
+        val in = fs.open(hp)
+        val len = ((endRec - startRec) * h.recordLen).toInt
+        val buf = new Array[Byte](len)
+        try in.readFully(h.dataOffset + startRec * h.recordLen, buf, 0, len)
+        finally in.close()
+        val bb = ByteBuffer.wrap(buf).order(ByteOrder.LITTLE_ENDIAN)
+        (startRec until endRec).iterator.map { i =>
+          decodeRecord(bb, ((i - startRec) * h.recordLen).toInt, h, docId, i.toInt)
+        }
+      }(rowEnc)
   }
 }

@@ -227,6 +227,46 @@ class LasFormatSpec extends AnyFunSuite {
     assert(dist.select("doc_id").distinct().head().getString(0) === "1.2-with-color.las")
   }
 
+  test("sharded LAS write: P1065 as 4+ executor-written shards re-decodes row-for-row") {
+    import org.apache.spark.sql.functions._
+    val (h0, _) = LasDecode.readPoints(P1065)
+    val df = LasDecode.asDataFrame(spark, P1065)
+      .withColumn("shard", pmod(col("span_idx"), lit(4)))
+    val dir = java.nio.file.Files.createTempDirectory("graftshard").toString
+    val files = LasWriter.writeSharded(dir, df, pointFormat = h0.pointFormat,
+      LasWriter.XForms(h0.sx, h0.sy, h0.sz, h0.ox, h0.oy, h0.oz), "shard")
+    assert(files.size === 4, s"expected 4 shards, got $files")
+    assert(files === Seq("shard_0.las", "shard_1.las", "shard_2.las", "shard_3.las"))
+    // each shard's header is its own finalized summary
+    val perShard = files.map { f =>
+      val (h, rows) = LasDecode.readPoints(s"$dir/$f")
+      assert(h.pointCount === rows.size)
+      assert(rows.forall(r => r.getDouble(2) >= h.minx && r.getDouble(2) <= h.maxx))
+      rows
+    }
+    assert(perShard.map(_.size).sum === 1065)
+    // distributed re-decode of all shards == original cloud (payload
+    // multiset; doc_id/span_idx are per-file identities by design)
+    val redecoded = LasDecode.asDistributedDataFrame(spark, s"$dir/*.las")
+      .drop("doc_id", "span_idx")
+    val original = LasDecode.asDataFrame(spark, P1065).drop("doc_id", "span_idx")
+    assert(redecoded.count() === 1065)
+    assert(redecoded.exceptAll(original).isEmpty && original.exceptAll(redecoded).isEmpty)
+  }
+
+  test("offset-split ingest of one file equals the driver decode (2 and 3 splits)") {
+    val drv = LasDecode.asDataFrame(spark, P1065)
+    Seq(2, 3).foreach { n =>
+      val split = LasDecode.asSplitDataFrame(spark, P1065, n)
+      assert(split.rdd.getNumPartitions === n)
+      assert(split.count() === 1065)
+      // span_idx is the absolute record index, so frames are EQUAL, not
+      // just payload-equivalent
+      assert(split.exceptAll(drv).isEmpty && drv.exceptAll(split).isEmpty,
+        s"split decode at n=$n differs from driver decode")
+    }
+  }
+
   test("quantization overflow throws instead of wrapping") {
     intercept[IllegalArgumentException] {
       LasWriter.write(java.nio.file.Files.createTempFile("graftovf", ".las").toString,
