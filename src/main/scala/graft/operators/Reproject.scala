@@ -331,10 +331,19 @@ object Reproject {
   // (ReprojectionFilter.cpp:131-205) without a GDAL runtime. Both legs
   // are codegen'd projections, so a composed transform is still a single
   // whole-stage-codegen projection over the scan.
+  //
+  // NO DATUM SHIFTS: the hub is a single geographic frame on the WGS84
+  // ellipsoid. NAD83 is treated as coincident with WGS84 (<2 m apart,
+  // fine for the no-GDAL contract); NAD27 is NOT registered at all —
+  // correct NAD27 transforms require NADCON grid shifts (reference gets
+  // them from GDAL/OSR), and a grid-less approximation can be off by
+  // tens of meters, so asking for one fails loudly here instead of
+  // silently returning wrong coordinates.
 
   private def unknown(srs: String): Nothing =
     throw new IllegalArgumentException(
-      s"unknown SRS '$srs' (known: EPSG:4326, EPSG:3857, utm:<zone>, lcc:oregon-ft)")
+      s"unknown SRS '$srs' (known: EPSG:4326, EPSG:3857, utm:<zone>, lcc:oregon-ft; " +
+        "datum shifts such as NAD27 are unsupported — no grid-shift tables without GDAL)")
 
   def toGeoStage(srs: String): DataFrame => DataFrame = srs match {
     case "EPSG:4326" | "" => identity

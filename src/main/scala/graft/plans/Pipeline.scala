@@ -71,8 +71,15 @@ object Pipeline {
     java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
       .map("%02x".format(_)).mkString
 
+  /** Per-run mutable context: the SRS inferred from the last LAS
+    * reader's VLRs, consumed by filters.reprojection when `in_srs` is
+    * absent or "auto" (the reference's ReprojectionFilter takes the
+    * stage input's spatial reference the same way). */
+  final class RunCtx { var inferredSrs: Option[String] = None }
+
   /** Build one stage's transformation. Readers ignore their input. */
-  def build(spark: SparkSession, st: StageSpec): Option[DataFrame] => DataFrame = {
+  def build(spark: SparkSession, st: StageSpec,
+            ctx: RunCtx = new RunCtx): Option[DataFrame] => DataFrame = {
     val t = st.typ
     in => t match {
       // ---- readers -----------------------------------------------------
@@ -104,11 +111,16 @@ object Pipeline {
         // "splits": N fans ONE large file across N tasks at record
         // offsets; "distributed": one task per matched file (glob);
         // default stays the driver decode for single-fixture parity runs
+        val path = st.str("path").get
+        // infer the file's SRS from its VLR GeoTIFF keys / WKT record for
+        // downstream filters.reprojection auto mode (glob paths skipped)
+        if (!path.exists("*?[".contains(_)))
+          ctx.inferredSrs = LasDecode.srsOf(path)
         st.int("splits") match {
-          case Some(n) => LasDecode.asSplitDataFrame(spark, st.str("path").get, n)
+          case Some(n) => LasDecode.asSplitDataFrame(spark, path, n)
           case None if st.bool("distributed").getOrElse(false) =>
-            LasDecode.asDistributedDataFrame(spark, st.str("path").get)
-          case None => LasDecode.asDataFrame(spark, st.str("path").get)
+            LasDecode.asDistributedDataFrame(spark, path)
+          case None => LasDecode.asDataFrame(spark, path)
         }
 
       // ---- filters -----------------------------------------------------
@@ -183,9 +195,20 @@ object Pipeline {
       case "filters.hexbin" =>
         TileOps.hexDensity(st.dbl("edge").getOrElse(10.0))(in.get)
       case "filters.reprojection" =>
-        // any registered SRS pair composes through geographic coordinates
-        Reproject.transform(st.str("in_srs").getOrElse(""),
-          st.str("out_srs").getOrElse("EPSG:4326"))(in.get)
+        // any registered SRS pair composes through geographic coordinates.
+        // in_srs "auto" (or absent, when a LAS reader inferred one) takes
+        // the SRS read from the source file's VLRs — the reference takes
+        // the stage input's spatial reference the same way
+        // (ReprojectionFilter.cpp:131-180).
+        val inSrs = st.str("in_srs") match {
+          case Some("auto") => ctx.inferredSrs.getOrElse(
+            throw new IllegalArgumentException(
+              "in_srs=auto but no SRS could be inferred from the source " +
+                "(no LASF_Projection VLR, or EPSG code outside the registry)"))
+          case Some(s) => s
+          case None => ctx.inferredSrs.getOrElse("")
+        }
+        Reproject.transform(inSrs, st.str("out_srs").getOrElse("EPSG:4326"))(in.get)
       case "filters.ground" =>
         GroundOps.pmf(GroundOps.PmfParams(
           cellSize = st.dbl("cell_size").getOrElse(1.0),
@@ -305,6 +328,7 @@ object Pipeline {
   def run(spark: SparkSession, specJson: String): RunResult = {
     val (stages, ckRoot) = parse(specJson)
     require(stages.nonEmpty, "empty pipeline")
+    val ctx = new RunCtx
     var prev: Option[(DataFrame, String)] = None
     val byTag = scala.collection.mutable.Map.empty[String, (DataFrame, String)]
     var resumed = Vector.empty[String]
@@ -344,12 +368,17 @@ object Pipeline {
         if (wantCk && Manifest.resumable(ckRoot.get, stageId, fingerprint) &&
             destinationIntact && digestsIntact) {
           resumed :+= stageId
+          // a resumed LAS reader still feeds SRS inference downstream
+          // (header+VLR read only — no point data)
+          if (st.typ == "readers.las")
+            st.str("path").filterNot(_.exists("*?[".contains(_)))
+              .foreach(p => ctx.inferredSrs = LasDecode.srsOf(p))
           Manifest.readData(spark, ckRoot.get, stageId)
         } else {
           var out = st.typ match {
             case "filters.merge" if inputs.size > 1 =>
               inputs.map(_._1).reduce(_ unionByName _)
-            case _ => build(spark, st)(inputs.headOption.map(_._1))
+            case _ => build(spark, st, ctx)(inputs.headOption.map(_._1))
           }
           if (wantCk) {
             Manifest.checkpoint(ckRoot.get, stageId, fingerprint,

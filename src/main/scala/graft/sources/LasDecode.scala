@@ -60,6 +60,108 @@ object LasDecode {
       maxz = bb.getDouble(211), minz = bb.getDouble(219))
   }
 
+  // ---- VLRs + SRS inference -------------------------------------------
+
+  /** One variable-length record: 54-byte header (reserved u16, user_id
+    * char[16], record_id u16, payload length u16, description char[32])
+    * followed by the payload (io/las/VariableLengthRecord.hpp layout). */
+  final case class Vlr(userId: String, recordId: Int, description: String,
+                       payload: Array[Byte])
+
+  private def cString(bytes: Array[Byte]): String = {
+    val n = bytes.indexOf(0.toByte)
+    new String(bytes, 0, if (n < 0) bytes.length else n, "US-ASCII").trim
+  }
+
+  /** Parse the VLR block between the header and the point data
+    * (io/las/LasReader.cpp:307-380 VLR loop). Tolerant of truncation:
+    * stops at the first record that would run past the data offset. */
+  def readVlrs(bb: ByteBuffer): Seq[Vlr] = {
+    bb.order(ByteOrder.LITTLE_ENDIAN)
+    val headerSize = bb.getShort(94) & 0xffff
+    val nVlrs = bb.getInt(100)
+    val dataOffset = bb.getInt(96) & 0xffffffffL
+    val out = Vector.newBuilder[Vlr]
+    var off = headerSize
+    var i = 0
+    while (i < nVlrs && off + 54 <= math.min(dataOffset, bb.capacity().toLong)) {
+      val uid = new Array[Byte](16); val desc = new Array[Byte](32)
+      var p = off + 2
+      (0 until 16).foreach { j => uid(j) = bb.get(p + j) }; p += 16
+      val rid = bb.getShort(p) & 0xffff; p += 2
+      val len = bb.getShort(p) & 0xffff; p += 2
+      (0 until 32).foreach { j => desc(j) = bb.get(p + j) }; p += 32
+      if (p + len <= bb.capacity()) {
+        val payload = new Array[Byte](len)
+        (0 until len).foreach { j => payload(j) = bb.get(p + j) }
+        out += Vlr(cString(uid), rid, cString(desc), payload)
+      }
+      off = p + len
+      i += 1
+    }
+    out.result()
+  }
+
+  /** EPSG code from the LASF_Projection VLRs: GeoTIFF GeoKeyDirectoryTag
+    * (record 34735; short entries (keyId, tagLoc, count, value) after the
+    * 4-short directory header — GeoTIFF spec 2.4) with
+    * ProjectedCSTypeGeoKey 3072 taking precedence over
+    * GeographicTypeGeoKey 2048; falls back to an OGC WKT record (2112)
+    * AUTHORITY tail. 32767 = user-defined -> unknown. Mirrors what the
+    * reference extracts via GDAL in ReprojectionFilter.cpp:131-180. */
+  def epsgOf(vlrs: Seq[Vlr]): Option[Int] = {
+    val geoKeys = vlrs.find(v => v.userId == "LASF_Projection" && v.recordId == 34735)
+      .map { v =>
+        val p = ByteBuffer.wrap(v.payload).order(ByteOrder.LITTLE_ENDIAN)
+        val n = p.getShort(6) & 0xffff
+        (0 until n).map { k =>
+          (p.getShort(8 + 8 * k) & 0xffff, p.getShort(10 + 8 * k) & 0xffff,
+            p.getShort(14 + 8 * k) & 0xffff)
+        }
+      }.getOrElse(Nil)
+    def key(id: Int): Option[Int] = geoKeys.collectFirst {
+      case (kid, 0, value) if kid == id && value != 32767 => value
+    }
+    key(3072).orElse(key(2048)).orElse {
+      // OGC coordinate system WKT (LAS 1.4 record 2112)
+      vlrs.find(v => v.userId == "LASF_Projection" && v.recordId == 2112)
+        .flatMap { v =>
+          val wkt = cString(v.payload)
+          """(?s).*(?:AUTHORITY|ID)\s*\[\s*"EPSG"\s*,\s*"?(\d+)"?\s*\]""".r
+            .findFirstMatchIn(wkt).map(_.group(1).toInt)
+        }
+    }
+  }
+
+  /** Map an EPSG code onto the engine's named-SRS registry
+    * ([[graft.operators.Reproject]]). NAD83 UTM zones map to the WGS84
+    * ellipsoid zones — the registry has NO datum shifts (documented
+    * loudly there); NAD83 and WGS84 differ by under 2 m, which matches
+    * the no-GDAL contract. Unknown codes -> None (callers fail loudly
+    * when asked to auto-infer). */
+  def registrySrsForEpsg(code: Int): Option[String] = code match {
+    case 4326 | 4269 => Some("EPSG:4326") // NAD83 geographic ~ WGS84 (no datum shift)
+    case 3857 | 900913 => Some("EPSG:3857")
+    case c if c >= 32601 && c <= 32660 => Some(s"utm:${c - 32600}")
+    case c if c >= 26901 && c <= 26923 => Some(s"utm:${c - 26900}") // NAD83 zones
+    case _ => None
+  }
+
+  /** Inferred registry SRS of a LAS file, from its VLRs ("in_srs"
+    * auto-detection — ReprojectionFilter.cpp:131-180 discipline). Reads
+    * only the header + VLR block, never the point data. */
+  def srsOf(path: String): Option[String] = {
+    val in = Files.newInputStream(Paths.get(path))
+    val bytes = try {
+      val head = in.readNBytes(375)
+      val dataOffset = ByteBuffer.wrap(head).order(ByteOrder.LITTLE_ENDIAN)
+        .getInt(96) & 0xffffffffL
+      head ++ in.readNBytes(math.max(0L, dataOffset - head.length).toInt)
+    } finally in.close()
+    val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    epsgOf(readVlrs(bb)).flatMap(registrySrsForEpsg)
+  }
+
   /** Capability predicates by point format (LasHeader.hpp:310-333). */
   def hasTime(fmt: Int): Boolean = fmt == 1 || (fmt >= 3 && fmt <= 5) || fmt >= 6
   def hasColor(fmt: Int): Boolean = fmt == 2 || fmt == 3 || fmt == 5 || fmt == 7 || fmt == 8 || fmt == 10

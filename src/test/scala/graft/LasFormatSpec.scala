@@ -267,6 +267,57 @@ class LasFormatSpec extends AnyFunSuite {
     }
   }
 
+  test("VLR parse + GeoTIFF keys recover the SRS of the reference fixtures") {
+    import java.nio.{ByteBuffer, ByteOrder}
+    // epsg_4326.las: GeographicTypeGeoKey 2048 = 4326
+    val b4326 = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$RefData/las/epsg_4326.las"))
+    val vlrs = LasDecode.readVlrs(ByteBuffer.wrap(b4326).order(ByteOrder.LITTLE_ENDIAN))
+    assert(vlrs.size === 3)
+    assert(vlrs.forall(_.userId === "LASF_Projection"))
+    assert(vlrs.map(_.recordId) === Seq(34735, 34736, 34737))
+    assert(LasDecode.epsgOf(vlrs) === Some(4326))
+    assert(LasDecode.srsOf(s"$RefData/las/epsg_4326.las") === Some("EPSG:4326"))
+    // utm15.las: ProjectedCSTypeGeoKey 3072 = 26915 (NAD83 UTM 15N)
+    assert(LasDecode.srsOf(s"$RefData/las/utm15.las") === Some("utm:15"))
+    // utm17.las (LAS 1.0): 3072 = 32617 (WGS84 UTM 17N)
+    assert(LasDecode.srsOf(s"$RefData/las/utm17.las") === Some("utm:17"))
+    // interesting.las: 3072 and 2048 are both 32767 (user-defined) -> None
+    assert(LasDecode.srsOf(s"$RefData/las/interesting.las") === None)
+    // P1065 carries no VLRs at all
+    assert(LasDecode.srsOf(P1065) === None)
+  }
+
+  test("pipeline reprojection infers in_srs=auto from the LAS file's VLRs") {
+    import graft.plans.Pipeline
+    val utm17 = s"$RefData/las/utm17.las"
+    val auto = Pipeline.run(spark,
+      s"""{ "pipeline": [
+         |  {"type": "readers.las", "path": "$utm17"},
+         |  {"type": "filters.reprojection", "in_srs": "auto",
+         |   "out_srs": "EPSG:4326"}
+         |]}""".stripMargin).df
+    val explicit = graft.operators.Reproject.transform("utm:17", "EPSG:4326")(
+      LasDecode.asDataFrame(spark, utm17))
+    val a = auto.orderBy("span_idx").select("x", "y").collect()
+    val e = explicit.orderBy("span_idx").select("x", "y").collect()
+    assert(a.length === e.length && a.length > 0)
+    a.zip(e).foreach { case (ra, re) =>
+      assert(ra.getDouble(0) === re.getDouble(0) && ra.getDouble(1) === re.getDouble(1))
+    }
+    // degrees in a plausible UTM-17 longitude band
+    assert(a.forall(r => r.getDouble(0) > -84 && r.getDouble(0) < -78))
+    // auto with no inferable SRS fails loudly
+    val ex = intercept[IllegalArgumentException] {
+      Pipeline.run(spark,
+        s"""{ "pipeline": [
+           |  {"type": "readers.las", "path": "$P1065"},
+           |  {"type": "filters.reprojection", "in_srs": "auto"}
+           |]}""".stripMargin)
+    }
+    assert(ex.getMessage.contains("no SRS could be inferred"))
+  }
+
   test("quantization overflow throws instead of wrapping") {
     intercept[IllegalArgumentException] {
       LasWriter.write(java.nio.file.Files.createTempFile("graftovf", ".las").toString,

@@ -315,6 +315,20 @@ class OperatorBehaviorSpec extends AnyFunSuite {
     assert(maxErr(back) < 1e-9, s"composed round trip err ${maxErr(back)} deg")
   }
 
+  test("unsupported datums fail loudly and NAD27 EPSG codes never map to the registry") {
+    val ex = intercept[IllegalArgumentException] {
+      graft.operators.Reproject.transform("nad27:utm:15", "EPSG:4326")
+    }
+    assert(ex.getMessage.contains("datum shifts") && ex.getMessage.contains("known:"))
+    // NAD27 UTM zones (267xx) and NAD27 geographic (4267) are not
+    // silently approximated — SRS inference returns None for them
+    assert(graft.sources.LasDecode.registrySrsForEpsg(26715) === None)
+    assert(graft.sources.LasDecode.registrySrsForEpsg(4267) === None)
+    // NAD83 (coincident with WGS84 to <2 m) IS mapped
+    assert(graft.sources.LasDecode.registrySrsForEpsg(26915) === Some("utm:15"))
+    assert(graft.sources.LasDecode.registrySrsForEpsg(4269) === Some("EPSG:4326"))
+  }
+
   test("salted aggregation equals direct aggregation") {
     val df = Faux.uniform(spark, Faux.Box3(0, 0, 0, 100, 100, 100), 5000, seed = 21)
     // double sums are compared rounded: a salted (two-stage) aggregation
