@@ -138,6 +138,17 @@ object EntryPipelines {
         .select(col("vec_id"), col("label"), col("list"),
           round(col("sim"), 6).as("sim6"))),
 
+    // the STORED IVF layout: one deterministic k-means refinement round,
+    // list-partitioned parquet write, probe run cold against the stored
+    // table (partition pruning — the 100 TB vector-store path)
+    "q_ann_ivf_stored" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graftivfstore").toString
+      AnnOps.ivfStoredTopK(queryVec, k = 20, nLists = 16, nProbe = 4,
+        kmeansIters = 1, storageDir = tmp)(embs(s, dir))
+        .select(col("vec_id"), col("label"), col("list"),
+          round(col("sim"), 6).as("sim6"))
+    }),
+
     "q_quantize" -> ((s, dir) => {
       val xf = Map(
         "x" -> Quantize.XForm(0.03, 100.0),
@@ -424,6 +435,7 @@ object EntryPipelines {
       "q_near_dup" -> nearDupSql,
 
       "q_ann_ivf" -> annIvfSql,
+      "q_ann_ivf_stored" -> annIvfStoredSql,
 
       // writers.las quantization grid: sround = round half away from
       // zero (Utils::sround / lround), mirrored exactly; literals CAST
@@ -797,6 +809,72 @@ object EntryPipelines {
        |         (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) *
        |          sqrt(list_dot_product(q.qv, q.qv))) AS sim
        |  FROM assign, q WHERE list IN (SELECT ci FROM qd))
+       |SELECT vec_id, label, list, round(sim, 6) AS sim6 FROM cand
+       |ORDER BY sim DESC, vec_id LIMIT $k""".stripMargin
+  }
+
+  /** Stored-IVF oracle: seeds as in [[annIvfSql]], then ONE Lloyd
+    * refinement round whose centroid means are computed in EXACT integer
+    * space (components quantized to 1e-6, summed as BIGINT — order-free,
+    * so Spark's partial aggregation and DuckDB's single-threaded sum
+    * agree bit-for-bit), L2-normalized, empty lists keeping their seed;
+    * then assignment + probe + exact rerank against the refined
+    * centroids. The engine additionally round-trips the assignment
+    * through a list-partitioned parquet table — pure storage, invisible
+    * to the result, which is exactly why the same SQL oracles it. */
+  private def annIvfStoredSql: String = {
+    val (nLists, nProbe, k) = (16, 4, 20)
+    s"""WITH q AS (SELECT $queryVecSql AS qv),
+       |cent0 AS (
+       |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS ci, embedding::DOUBLE[] AS ce
+       |  FROM embeddings ORDER BY vec_id LIMIT $nLists),
+       |cent AS (
+       |  SELECT ci, list_transform(ce,
+       |           x -> x / greatest(sqrt(list_dot_product(ce, ce)), 1e-300)) AS cn
+       |  FROM cent0),
+       |assign0 AS (
+       |  SELECT e.vec_id, e.embedding,
+       |         (SELECT c.ci FROM cent c
+       |          ORDER BY list_dot_product(e.embedding::DOUBLE[], c.cn) DESC, c.ci
+       |          LIMIT 1) AS list
+       |  FROM embeddings e),
+       |updsrc AS (
+       |  SELECT a.list AS ci,
+       |         unnest(generate_series(1, len(a.embedding))) AS pos,
+       |         a.embedding AS emb
+       |  FROM assign0 a),
+       |upd AS (
+       |  SELECT ci, pos,
+       |         CAST(sum(CAST(floor(CAST(emb[pos] AS DOUBLE) * CAST(1000000 AS DOUBLE)
+       |                  + CAST(0.5 AS DOUBLE)) AS BIGINT)) AS BIGINT) AS s,
+       |         count(*) AS n
+       |  FROM updsrc GROUP BY ci, pos),
+       |newc AS (
+       |  SELECT ci,
+       |         list((CAST(s AS DOUBLE) / n) / CAST(1000000 AS DOUBLE) ORDER BY pos) AS ce2
+       |  FROM upd GROUP BY ci),
+       |newn AS (
+       |  SELECT ci, list_transform(ce2,
+       |           x -> x / greatest(sqrt(list_dot_product(ce2, ce2)), 1e-300)) AS cn2
+       |  FROM newc),
+       |ref AS (
+       |  SELECT c.ci, COALESCE(n.cn2, c.cn) AS cn
+       |  FROM cent c LEFT JOIN newn n ON c.ci = n.ci),
+       |assign2 AS (
+       |  SELECT e.vec_id, e.label, e.embedding,
+       |         (SELECT r.ci FROM ref r
+       |          ORDER BY list_dot_product(e.embedding::DOUBLE[], r.cn) DESC, r.ci
+       |          LIMIT 1) AS list
+       |  FROM embeddings e),
+       |qd AS (
+       |  SELECT ci FROM ref, q
+       |  ORDER BY list_dot_product(q.qv, cn) DESC, ci LIMIT $nProbe),
+       |cand AS (
+       |  SELECT vec_id, label, list,
+       |         list_dot_product(embedding::DOUBLE[], q.qv) /
+       |         (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) *
+       |          sqrt(list_dot_product(q.qv, q.qv))) AS sim
+       |  FROM assign2, q WHERE list IN (SELECT ci FROM qd))
        |SELECT vec_id, label, list, round(sim, 6) AS sim6 FROM cand
        |ORDER BY sim DESC, vec_id LIMIT $k""".stripMargin
   }

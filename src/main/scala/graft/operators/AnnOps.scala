@@ -224,22 +224,85 @@ object AnnOps {
         e.map(_ / math.max(n, java.lang.Double.MIN_VALUE))
       }
 
+  /** Deterministic Lloyd refinement of the seed centroids: `iters`
+    * rounds of assign -> mean -> L2-normalize, with the mean computed in
+    * EXACT integer space — each component quantized to 1e-6
+    * (floor(v*1e6 + 0.5)) and summed as BIGINT, which is order-free, so
+    * the refined centroids are bit-identical across partitionings AND
+    * mirrorable in an independent SQL oracle (the classic
+    * floating-point-mean nondeterminism never enters). Per round: one
+    * assignment pass + one (list, pos) hash aggregate; the update is
+    * nLists x dims rows — driver-tiny at any data scale. Lists that end
+    * a round empty keep their previous centroid. */
+  def ivfKMeansCentroids(df: DataFrame, nLists: Int, iters: Int): Array[Array[Double]] = {
+    val Q = 1000000.0
+    var cents = ivfCentroids(df, nLists)
+    var it = 0
+    while (it < iters) {
+      val upd = ivfAssignWith(cents)(df)
+        .select(col("list"), posexplode(col("embedding")).as(Seq("pos", "v")))
+        .groupBy(col("list"), col("pos"))
+        .agg(sum(floor(col("v").cast(DoubleType) * Q + lit(0.5)).cast(LongType)).as("s"),
+          count(lit(1)).as("n"))
+        .collect()
+        .groupBy(_.getInt(0))
+      cents = cents.zipWithIndex.map { case (old, ci) =>
+        upd.get(ci) match {
+          case Some(rows) =>
+            val comp = new Array[Double](old.length)
+            rows.foreach { r =>
+              comp(r.getInt(1)) = (r.getLong(2).toDouble / r.getLong(3)) / Q
+            }
+            val nrm = math.sqrt(comp.map(x => x * x).sum)
+            comp.map(_ / math.max(nrm, java.lang.Double.MIN_VALUE))
+          case None => old
+        }
+      }
+      it += 1
+    }
+    cents
+  }
+
+  /** Probe `nProbe` best lists of an assigned frame with an exact cosine
+    * rerank — shared by the in-memory and stored-layout paths. */
+  private def ivfProbe(cents: Array[Array[Double]], query: Array[Double],
+                       k: Int, nProbe: Int)(assigned: DataFrame): DataFrame = {
+    val qDots = cents.map(c => c.zip(query).map { case (a, b) => a * b }.sum)
+    val probes = qDots.zipWithIndex.sortBy { case (d, i) => (-d, i) }
+      .take(nProbe).map(_._2)
+    val qn = math.sqrt(query.map(x => x * x).sum)
+    assigned
+      .filter(col("list").isin(probes.toSeq: _*))
+      .select(col("vec_id"), col("label"), col("list").cast(IntegerType).as("list"),
+        (dotConst(col("embedding"), query) /
+          greatest(norm(col("embedding")) * lit(qn), lit(java.lang.Double.MIN_VALUE))).as("sim"))
+      .orderBy(col("sim").desc, col("vec_id"))
+      .limit(k)
+  }
+
   /** IVF top-k: probe the `nProbe` lists whose centroids best match the
     * query, exact cosine rerank within them. */
   def ivfTopK(query: Array[Double], k: Int, nLists: Int, nProbe: Int)
              (df: DataFrame): DataFrame = {
     val cents = ivfCentroids(df, nLists)
-    val qDots = cents.map(c => c.zip(query).map { case (a, b) => a * b }.sum)
-    val probes = qDots.zipWithIndex.sortBy { case (d, i) => (-d, i) }
-      .take(nProbe).map(_._2)
-    val qn = math.sqrt(query.map(x => x * x).sum)
+    ivfProbe(cents, query, k, nProbe)(ivfAssignWith(cents)(df))
+  }
+
+  /** The IVF STORED layout end-to-end: k-means-refined centroids, the
+    * assigned table written partitioned by `list` (each list = one
+    * physical partition — the on-disk layout a 100 TB vector store
+    * needs), then the probe run COLD against the stored table, where
+    * `list IN (probes)` is a partition filter: only nProbe/nLists of the
+    * data is read (pruning is plan-gated in PlanQualitySpec). */
+  def ivfStoredTopK(query: Array[Double], k: Int, nLists: Int, nProbe: Int,
+                    kmeansIters: Int, storageDir: String)(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    val cents =
+      if (kmeansIters > 0) ivfKMeansCentroids(df, nLists, kmeansIters)
+      else ivfCentroids(df, nLists)
     ivfAssignWith(cents)(df)
-      .filter(col("list").isin(probes.toSeq: _*))
-      .select(col("vec_id"), col("label"), col("list"),
-        (dotConst(col("embedding"), query) /
-          greatest(norm(col("embedding")) * lit(qn), lit(java.lang.Double.MIN_VALUE))).as("sim"))
-      .orderBy(col("sim").desc, col("vec_id"))
-      .limit(k)
+      .write.mode("overwrite").partitionBy("list").parquet(storageDir)
+    ivfProbe(cents, query, k, nProbe)(spark.read.parquet(storageDir))
   }
 
   /** Embedding-cosine near-duplicate pairs within LSH buckets: self-join

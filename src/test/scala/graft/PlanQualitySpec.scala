@@ -136,6 +136,32 @@ class PlanQualitySpec extends AnyFunSuite {
     // and the pruning is real: only the probed partitions' rows return
     val want = assigned.filter(col("list").isin(1, 3)).count()
     assert(probe.count() === want && want > 0)
+    // the same gate through the ACTUAL stored-layout operator (k-means
+    // refined, written partitioned, probed cold)
+    val q = Array.tabulate(dims)(d => math.sin(500.0 * (d + 1)))
+    val dir2 = java.nio.file.Files.createTempDirectory("graftivf2").toString + "/store"
+    val top = AnnOps.ivfStoredTopK(q, k = 5, nLists = 8, nProbe = 2,
+      kmeansIters = 1, storageDir = dir2)(vecs)
+    val plan2 = planOf(top)
+    assert(plan2.contains("PartitionFilters") && plan2.contains("list"),
+      s"stored-IVF probe does not prune partitions:\n$plan2")
+    assert(top.count() === 5)
+  }
+
+  test("IVF k-means refinement is partitioning-invariant (integer-exact means)") {
+    val dims = 8
+    val vecs = spark.range(0, 500).select(col("id").as("vec_id"),
+      lit(0).as("label"),
+      transform(sequence(lit(1), lit(dims)),
+        d => sin(col("id") * d).cast("float")).as("embedding"))
+    val c1 = AnnOps.ivfKMeansCentroids(vecs.repartition(3), nLists = 6, iters = 2)
+    val c2 = AnnOps.ivfKMeansCentroids(vecs.repartition(13), nLists = 6, iters = 2)
+    c1.zip(c2).zipWithIndex.foreach { case ((a, b), i) =>
+      assert(a.toSeq === b.toSeq, s"centroid $i differs across partitionings")
+    }
+    // refinement moved the centroids off the seeds
+    val seeds = AnnOps.ivfCentroids(vecs, 6)
+    assert(c1.zip(seeds).exists { case (a, s) => a.toSeq != s.toSeq })
   }
 
   test("morton key and cell id are codegen'd projections") {
