@@ -197,17 +197,36 @@ object LasDecode {
       s"file too large for single-buffer decode (${h.pointCount} records); " +
         "use the offset-split ingest (asSplitDataFrame / splits config)")
 
+  /** The "laszip encoded" VLR, if this is a .laz stream. */
+  def lazVlrOf(bb: ByteBuffer): Option[laz.LazDecoder.LazVlr] =
+    readVlrs(bb).find(v => v.userId == "laszip encoded" && v.recordId == 22204)
+      .map(v => laz.LazDecoder.parseVlr(v.payload))
+
+  /** Point-record bytes of `bb`, decompressing LASzip streams into raw
+    * records first (so every caller decodes through the same
+    * golden-pinned [[decodeRecord]]). Returns (buffer, offset of record
+    * 0 inside it). */
+  private def pointBytes(bytes: Array[Byte], bb: ByteBuffer, h: LasHeader): (ByteBuffer, Long) =
+    lazVlrOf(bb) match {
+      case Some(vlr) =>
+        val raw = laz.LazDecoder.decompress(bytes, h.dataOffset.toInt,
+          h.pointCount.toInt, h.recordLen, vlr)
+        (ByteBuffer.wrap(raw).order(ByteOrder.LITTLE_ENDIAN), 0L)
+      case None => (bb, h.dataOffset)
+    }
+
   def readPoints(path: String, docId: String = "las"): (LasHeader, Vector[Row]) = {
     val bytes = Files.readAllBytes(Paths.get(path))
     val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
     val h = readHeader(bb)
     require(h.pointFormat <= 10, s"unsupported point format ${h.pointFormat}")
     requireSingleBuffer(h)
+    val (pb, off0) = pointBytes(bytes, bb, h)
     val rows = Vector.newBuilder[Row]
     var i = 0L
     while (i < h.pointCount) {
-      val base = (h.dataOffset + i * h.recordLen).toInt
-      rows += decodeRecord(bb, base, h, docId, i.toInt)
+      val base = (off0 + i * h.recordLen).toInt
+      rows += decodeRecord(pb, base, h, docId, i.toInt)
       i += 1
     }
     (h, rows.result())
@@ -281,8 +300,9 @@ object LasDecode {
       val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
       val h = readHeader(bb)
       requireSingleBuffer(h)
+      val (pb, off0) = pointBytes(bytes, bb, h)
       (0L until h.pointCount).iterator.map { i =>
-        decodeRecord(bb, (h.dataOffset + i * h.recordLen).toInt, h, docId, i.toInt)
+        decodeRecord(pb, (off0 + i * h.recordLen).toInt, h, docId, i.toInt)
       }
     }(rowEnc)
   }
@@ -306,6 +326,12 @@ object LasDecode {
     }
     val h = readHeader(ByteBuffer.wrap(headBytes).order(ByteOrder.LITTLE_ENDIAN))
     require(h.pointFormat <= 10, s"unsupported point format ${h.pointFormat}")
+    // laszip bits in the raw format byte: compressed records are not
+    // fixed-length, so offset splitting cannot apply — decode via the
+    // whole-file paths (which decompress), splitting at chunk boundaries
+    // is the future refinement
+    require((headBytes(104) & 0xC0) == 0,
+      "offset-split ingest needs uncompressed LAS; use readers.las without splits for .laz")
     val per = (h.pointCount + numSplits - 1) / numSplits
     require(per * h.recordLen <= Int.MaxValue,
       s"split of $per records exceeds one task's buffer; raise numSplits")

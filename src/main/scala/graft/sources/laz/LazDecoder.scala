@@ -1,0 +1,114 @@
+package graft.sources.laz
+
+import java.nio.{ByteBuffer, ByteOrder}
+
+/** LASzip (.laz) stream decompressor: turns the compressed point block
+  * of a LAZ file into the equivalent RAW uncompressed LAS point records,
+  * which then flow through the regular golden-pinned record decode.
+  *
+  * Supports the original point-wise compressor (1, item versions 1) and
+  * the chunked compressor (2, item versions 2) for POINT10 + GPSTIME11 +
+  * RGB12 — i.e. LAS 1.0-1.3 point formats 0-3, which is what laszip
+  * emits for them. Layered compressor 3 (LAS 1.4 formats 6+) is not
+  * implemented (fails loudly).
+  *
+  * Clean-room implementation from the published LAZ specification /
+  * Isenburg's LASzip paper (the reference consumes the format through
+  * the external laszip library — io/las/ZipPoint.cpp — whose source is
+  * not part of the reference tree); verified bit-for-bit by decoding the
+  * reference's .laz fixtures against their uncompressed .las twins. */
+object LazDecoder {
+
+  /** Parsed "laszip encoded" VLR (user LASF spec record 22204). */
+  final case class LazVlr(compressor: Int, chunkSize: Long,
+                          items: Seq[(Int, Int, Int)]) // (type, size, version)
+
+  val ItemPoint10 = 6
+  val ItemGpsTime11 = 7
+  val ItemRgb12 = 8
+
+  def parseVlr(payload: Array[Byte]): LazVlr = {
+    val bb = ByteBuffer.wrap(payload).order(ByteOrder.LITTLE_ENDIAN)
+    val compressor = bb.getShort(0) & 0xFFFF
+    val chunkSize = bb.getInt(12) & 0xFFFFFFFFL
+    val nItems = bb.getShort(32) & 0xFFFF
+    val items = (0 until nItems).map { i =>
+      (bb.getShort(34 + 6 * i) & 0xFFFF,
+        bb.getShort(36 + 6 * i) & 0xFFFF,
+        bb.getShort(38 + 6 * i) & 0xFFFF)
+    }
+    LazVlr(compressor, chunkSize, items)
+  }
+
+  /** Decompress `pointCount` records of `recordLen` bytes each from
+    * `data` starting at `dataOffset`, per the laszip VLR `vlr`. Returns
+    * the raw little-endian record bytes (pointCount * recordLen). */
+  def decompress(data: Array[Byte], dataOffset: Int, pointCount: Int,
+                 recordLen: Int, vlr: LazVlr): Array[Byte] = {
+    require(vlr.compressor == 1 || vlr.compressor == 2,
+      s"unsupported laszip compressor ${vlr.compressor} (layered/1.4 streams not implemented)")
+    require(vlr.items.map(_._1) == vlr.items.map(_._1).intersect(
+      Seq(ItemPoint10, ItemGpsTime11, ItemRgb12)) &&
+      vlr.items.nonEmpty && vlr.items.head._1 == ItemPoint10,
+      s"unsupported laszip item set ${vlr.items} (wave packets / extra bytes not implemented)")
+    val out = new Array[Byte](pointCount * recordLen)
+    // compressor 2 prefixes the point block with the chunk-table offset
+    var pos = if (vlr.compressor == 2) dataOffset + 8 else dataOffset
+    val chunk =
+      if (vlr.compressor == 2 && vlr.chunkSize > 0) vlr.chunkSize.toInt
+      else pointCount // compressor 1: one unchunked stream
+    var decoded = 0
+    while (decoded < pointCount) {
+      val inChunk = math.min(chunk, pointCount - decoded)
+      pos = decodeChunk(data, pos, out, decoded * recordLen, inChunk, recordLen, vlr)
+      decoded += inChunk
+    }
+    out
+  }
+
+  /** One chunk: raw first point, then arithmetic-coded rest with fresh
+    * models. Returns the stream position after the chunk. */
+  private def decodeChunk(data: Array[Byte], start: Int, out: Array[Byte],
+                          outOff: Int, n: Int, recordLen: Int, vlr: LazVlr): Int = {
+    // first point is stored raw (it seeds every item's prediction state)
+    System.arraycopy(data, start, out, outOff, recordLen)
+    val dec = new ArithmeticDecoder(data, start + recordLen)
+    val v2 = vlr.compressor == 2
+    // item readers in VLR order, seeded from the raw point's fields
+    var fieldOff = outOff
+    val readers: Seq[(Int, Int)] = vlr.items.map { case (t, size, _) =>
+      val o = fieldOff; fieldOff += size; (t, o - outOff)
+    }
+    val p10v2 = if (v2) new LazItems.Point10V2(dec) else null
+    val p10v1 = if (!v2) new LazItems.Point10V1(dec) else null
+    val gpsv2 = if (v2) new LazItems.GpsTime11V2(dec) else null
+    val gpsv1 = if (!v2) new LazItems.GpsTime11V1(dec) else null
+    val rgbv2 = if (v2) new LazItems.Rgb12V2(dec) else null
+    val rgbv1 = if (!v2) new LazItems.Rgb12V1(dec) else null
+    readers.foreach { case (t, rel) =>
+      t match {
+        case ItemPoint10 => if (v2) p10v2.init(out, outOff + rel) else p10v1.init(out, outOff + rel)
+        case ItemGpsTime11 => if (v2) gpsv2.init(out, outOff + rel) else gpsv1.init(out, outOff + rel)
+        case ItemRgb12 => if (v2) rgbv2.init(out, outOff + rel) else rgbv1.init(out, outOff + rel)
+        case other => throw new IllegalArgumentException(s"laszip item $other")
+      }
+    }
+    if (n > 1) {
+      dec.init()
+      var i = 1
+      while (i < n) {
+        val po = outOff + i * recordLen
+        readers.foreach { case (t, rel) =>
+          t match {
+            case ItemPoint10 => if (v2) p10v2.read(out, po + rel) else p10v1.read(out, po + rel)
+            case ItemGpsTime11 => if (v2) gpsv2.read(out, po + rel) else gpsv1.read(out, po + rel)
+            case ItemRgb12 => if (v2) rgbv2.read(out, po + rel) else rgbv1.read(out, po + rel)
+            case _ => ()
+          }
+        }
+        i += 1
+      }
+    }
+    dec.pos
+  }
+}
