@@ -281,10 +281,14 @@ object Pipeline {
         }
         // shard_column routes to the executor-parallel sharded writer
         // (one LAS per distinct shard value under "path" as a directory);
-        // default stays the single-file driver emit for fixture parity
+        // a .laz path (or "compression": true) emits LASzip; default
+        // stays the single-file driver emit for fixture parity
+        val wpath = st.str("path").get
         st.str("shard_column") match {
-          case Some(sc) => LasWriter.writeSharded(st.str("path").get, d, fmt, xf, sc)
-          case None => LasWriter.write(st.str("path").get, d, fmt, xf)
+          case Some(sc) => LasWriter.writeSharded(wpath, d, fmt, xf, sc)
+          case None if wpath.endsWith(".laz") || st.bool("compression").getOrElse(false) =>
+            LasWriter.writeLaz(wpath, d, fmt, xf)
+          case None => LasWriter.write(wpath, d, fmt, xf)
         }
         d
       case "writers.csv" =>

@@ -40,6 +40,42 @@ object LazDecoder {
     LazVlr(compressor, chunkSize, items)
   }
 
+  /** Chunk start offsets inside `data` for a compressor-2 stream, from
+    * the chunk table (spec: i64 table offset stored at `dataOffset`;
+    * the table is u32 version + u32 chunk count followed by the per-
+    * chunk compressed byte counts, themselves entropy-coded with a
+    * 32-bit integer decompressor over 2 contexts, context 1, each
+    * predicted by the previous count). Exact starts matter because the
+    * decoder primes 4 lookahead bytes per chunk — sequential
+    * "contiguous" decoding would misalign on every chunk boundary. */
+  def chunkStarts(data: Array[Byte], dataOffset: Int, nChunks: Int): Seq[Int] = {
+    val bb = ByteBuffer.wrap(data).order(ByteOrder.LITTLE_ENDIAN)
+    val tableOff = bb.getLong(dataOffset)
+    val first = dataOffset + 8
+    if (nChunks <= 1) return Seq(first)
+    require(tableOff > 0 && tableOff + 8 <= data.length,
+      s"laszip chunk table offset $tableOff outside file (truncated stream?)")
+    val t = tableOff.toInt
+    val version = bb.getInt(t)
+    val stored = bb.getInt(t + 4)
+    require(version == 0, s"laszip chunk table version $version")
+    require(stored >= nChunks, s"chunk table holds $stored entries, need $nChunks")
+    val dec = new ArithmeticDecoder(data, t + 8)
+    dec.init()
+    val ic = new IntegerDecompressor(dec, 32, 2)
+    val starts = new Array[Int](nChunks)
+    starts(0) = first
+    var prev = 0
+    var i = 0
+    while (i < nChunks - 1) {
+      val size = ic.decompress(prev, 1)
+      starts(i + 1) = starts(i) + size
+      prev = size
+      i += 1
+    }
+    starts.toSeq
+  }
+
   /** Decompress `pointCount` records of `recordLen` bytes each from
     * `data` starting at `dataOffset`, per the laszip VLR `vlr`. Returns
     * the raw little-endian record bytes (pointCount * recordLen). */
@@ -52,16 +88,20 @@ object LazDecoder {
       vlr.items.nonEmpty && vlr.items.head._1 == ItemPoint10,
       s"unsupported laszip item set ${vlr.items} (wave packets / extra bytes not implemented)")
     val out = new Array[Byte](pointCount * recordLen)
-    // compressor 2 prefixes the point block with the chunk-table offset
-    var pos = if (vlr.compressor == 2) dataOffset + 8 else dataOffset
     val chunk =
       if (vlr.compressor == 2 && vlr.chunkSize > 0) vlr.chunkSize.toInt
       else pointCount // compressor 1: one unchunked stream
+    val nChunks = math.max(1, (pointCount + chunk - 1) / chunk)
+    val starts =
+      if (vlr.compressor == 2) chunkStarts(data, dataOffset, nChunks)
+      else Seq(dataOffset)
     var decoded = 0
+    var ci = 0
     while (decoded < pointCount) {
       val inChunk = math.min(chunk, pointCount - decoded)
-      pos = decodeChunk(data, pos, out, decoded * recordLen, inChunk, recordLen, vlr)
+      decodeChunk(data, starts(ci), out, decoded * recordLen, inChunk, recordLen, vlr)
       decoded += inChunk
+      ci += 1
     }
     out
   }

@@ -1,0 +1,398 @@
+package graft.sources.laz
+
+import ArithmeticDecoder.{AcMaxLength, AcMinLength, BmLengthShift, DmLengthShift, BitModel, SymbolModel}
+import LazItems.{Point10, StreamingMedian5, NumberReturnMap, NumberReturnLevel, u8fold, u8clamp}
+
+/** LASzip ENCODER (compressor 2, item versions 2) — the write-side
+  * counterpart of [[LazDecoder]], built on the same FastAC interval
+  * conventions (carry-propagating encoder) and the same adaptive
+  * models. Where the spec leaves encoding DECISIONS free (which
+  * gpstime multiplier, which correction path), this encoder makes the
+  * simplest valid choice — the stream stays fully spec-conformant
+  * (our fixture-verified decoder reproduces the input bit-for-bit; a
+  * round-trip spec pins it), it just compresses slightly less hard
+  * than laszip's heuristics on smooth time series.
+  */
+object LazEncoder {
+
+  /** FastAC arithmetic encoder with carry propagation. */
+  final class ArithmeticEncoder {
+    private val out = scala.collection.mutable.ArrayBuffer.empty[Byte]
+    private var base = 0L
+    private var length = AcMaxLength
+
+    def init(): Unit = { base = 0L; length = AcMaxLength }
+
+    private def propagateCarry(): Unit = {
+      var idx = out.length - 1
+      while ((out(idx) & 0xFF) == 0xFF) { out(idx) = 0; idx -= 1 }
+      out(idx) = ((out(idx) & 0xFF) + 1).toByte
+    }
+
+    private def renorm(): Unit = {
+      while (length < AcMinLength) {
+        out += ((base >>> 24) & 0xFF).toByte
+        base = (base << 8) & 0xFFFFFFFFL
+        length = (length << 8) & 0xFFFFFFFFL
+      }
+    }
+
+    def encodeBit(m: BitModel, bit: Int): Unit = {
+      val x = m.bit0Prob * (length >>> BmLengthShift)
+      if (bit == 0) { length = x; m.bit0Count += 1 }
+      else {
+        val init = base
+        base = (base + x) & 0xFFFFFFFFL
+        length -= x
+        if (init > base) propagateCarry()
+      }
+      if (length < AcMinLength) renorm()
+      m.bitsUntilUpdate -= 1
+      if (m.bitsUntilUpdate == 0) m.update()
+    }
+
+    def encodeSymbol(m: SymbolModel, sym: Int): Unit = {
+      val init = base
+      if (sym == m.symbols - 1) {
+        val x = m.distribution(sym) * (length >>> DmLengthShift)
+        base = (base + x) & 0xFFFFFFFFL
+        length -= x
+      } else {
+        length = length >>> DmLengthShift
+        val x = m.distribution(sym) * length
+        base = (base + x) & 0xFFFFFFFFL
+        length = m.distribution(sym + 1) * length - x
+      }
+      if (init > base) propagateCarry()
+      if (length < AcMinLength) renorm()
+      m.symbolCount(sym) += 1
+      m.symbolsUntilUpdate -= 1
+      if (m.symbolsUntilUpdate == 0) m.update()
+    }
+
+    def writeBits(bits: Int, value: Long): Unit = {
+      if (bits > 19) {
+        writeBits(16, value & 0xFFFF)
+        writeBits(bits - 16, value >>> 16)
+      } else {
+        length = length >>> bits
+        val init = base
+        base = (base + value * length) & 0xFFFFFFFFL
+        if (init > base) propagateCarry()
+        if (length < AcMinLength) renorm()
+      }
+    }
+
+    /** Spec flush: pin the interval so any continuation bytes cannot
+      * change already-encoded decisions, then emit the top bytes. */
+    def done(): Unit = {
+      val init = base
+      if (length > 2 * AcMinLength) { base = (base + AcMinLength) & 0xFFFFFFFFL; length = AcMinLength >>> 1 }
+      else { base = (base + (AcMinLength >>> 1)) & 0xFFFFFFFFL; length = AcMinLength >>> 9 }
+      if (init > base) propagateCarry()
+      renorm()
+    }
+
+    def bytes: Array[Byte] = out.toArray
+    def size: Int = out.length
+    def appendRaw(b: Array[Byte], off: Int, len: Int): Unit = out ++= b.slice(off, off + len)
+  }
+
+  /** Write side of [[IntegerDecompressor]]: pick k from the corrector's
+    * magnitude interval, emit k + the interval-mapped low bits. */
+  final class IntegerCompressorEnc(enc: ArithmeticEncoder, bits: Int = 32,
+                                   contexts: Int = 1, bitsHigh: Int = 8) {
+    private val corrBits = if (bits > 0 && bits < 32) bits else 32
+    private val corrRange = if (bits > 0 && bits < 32) 1L << bits else 0L
+    private val mBits = Array.fill(contexts)(new SymbolModel(corrBits + 1))
+    private val mCorrector0 = new BitModel
+    private val mCorrector: Array[SymbolModel] = Array.tabulate(corrBits + 1) { k =>
+      if (k == 0) null
+      else new SymbolModel(if (k <= bitsHigh) 1 << k else 1 << bitsHigh)
+    }
+    var lastK: Int = 0
+
+    def compress(pred: Int, real: Int, context: Int = 0): Unit = {
+      var c = (real - pred).toLong
+      if (corrRange != 0) { // wrap into the symmetric corrector range
+        if (c < -(corrRange / 2)) c += corrRange
+        else if (c >= corrRange / 2) c -= corrRange
+      }
+      writeCorrector(c.toInt, mBits(context))
+    }
+
+    private def writeCorrector(cIn: Int, model: SymbolModel): Unit = {
+      if (cIn == 0 || cIn == 1) {
+        lastK = 0
+        enc.encodeSymbol(model, 0)
+        enc.encodeBit(mCorrector0, cIn)
+        return
+      }
+      if (cIn == Int.MinValue && corrBits == 32) {
+        lastK = 32
+        enc.encodeSymbol(model, 32)
+        return
+      }
+      // magnitude-k intervals: positive [2^(k-1)+1, 2^k], negative
+      // [-(2^k - 1), -2^(k-1)]; raw = c-1 resp. c + 2^k - 1
+      val c = cIn.toLong
+      var k = 1
+      while (!(c > 0 && c > (1L << (k - 1)) && c <= (1L << k)) &&
+             !(c < 0 && c >= -((1L << k) - 1) && c <= -(1L << (k - 1))))
+        k += 1
+      lastK = k
+      enc.encodeSymbol(model, k)
+      val raw = if (c > 0) c - 1 else c + (1L << k) - 1
+      if (k <= bitsHigh) enc.encodeSymbol(mCorrector(k), raw.toInt)
+      else {
+        val k1 = k - bitsHigh
+        enc.encodeSymbol(mCorrector(k), (raw >>> k1).toInt)
+        enc.writeBits(k1, raw & ((1L << k1) - 1))
+      }
+    }
+  }
+
+  // ---- item writers (versions 2) --------------------------------------
+
+  final class Point10V2Enc(enc: ArithmeticEncoder) {
+    private val last = new Point10
+    private val lastXDiff = Array.fill(16)(new StreamingMedian5)
+    private val lastYDiff = Array.fill(16)(new StreamingMedian5)
+    private val lastIntensity = new Array[Int](16)
+    private val lastHeight = new Array[Int](8)
+    private val mChanged = new SymbolModel(64)
+    private val icIntensity = new IntegerCompressorEnc(enc, 16, 4)
+    private val mScanAngle = Array.fill(2)(new SymbolModel(256))
+    private val icPsid = new IntegerCompressorEnc(enc, 16)
+    private val mBitByte = new Array[SymbolModel](256)
+    private val mClassification = new Array[SymbolModel](256)
+    private val mUserData = new Array[SymbolModel](256)
+    private val icDx = new IntegerCompressorEnc(enc, 32, 2)
+    private val icDy = new IntegerCompressorEnc(enc, 32, 22)
+    private val icZ = new IntegerCompressorEnc(enc, 32, 20)
+
+    def init(raw: Array[Byte], off: Int): Unit = last.setFrom(raw, off)
+
+    def write(p: Point10): Unit = {
+      val r = p.bitByte & 7
+      val n = (p.bitByte >> 3) & 7
+      val m = NumberReturnMap(n)(r)
+      val l = NumberReturnLevel(n)(r)
+      val changed =
+        (if (p.bitByte != last.bitByte) 32 else 0) |
+        (if (p.intensity != lastIntensity(m)) 16 else 0) |
+        (if (p.classification != last.classification) 8 else 0) |
+        (if (p.scanAngleRank != last.scanAngleRank) 4 else 0) |
+        (if (p.userData != last.userData) 2 else 0) |
+        (if (p.psid != last.psid) 1 else 0)
+      enc.encodeSymbol(mChanged, changed)
+      if ((changed & 32) != 0) {
+        if (mBitByte(last.bitByte) == null) mBitByte(last.bitByte) = new SymbolModel(256)
+        enc.encodeSymbol(mBitByte(last.bitByte), p.bitByte)
+        last.bitByte = p.bitByte
+      }
+      if ((changed & 16) != 0) {
+        icIntensity.compress(lastIntensity(m), p.intensity, if (m < 3) m else 3)
+        lastIntensity(m) = p.intensity
+      }
+      last.intensity = lastIntensity(m)
+      if ((changed & 8) != 0) {
+        if (mClassification(last.classification) == null)
+          mClassification(last.classification) = new SymbolModel(256)
+        enc.encodeSymbol(mClassification(last.classification), p.classification)
+        last.classification = p.classification
+      }
+      if ((changed & 4) != 0) {
+        val f = (last.bitByte >> 6) & 1
+        enc.encodeSymbol(mScanAngle(f), (p.scanAngleRank - last.scanAngleRank) & 0xFF)
+        last.scanAngleRank = p.scanAngleRank
+      }
+      if ((changed & 2) != 0) {
+        if (mUserData(last.userData) == null) mUserData(last.userData) = new SymbolModel(256)
+        enc.encodeSymbol(mUserData(last.userData), p.userData)
+        last.userData = p.userData
+      }
+      if ((changed & 1) != 0) {
+        icPsid.compress(last.psid, p.psid)
+        last.psid = p.psid
+      }
+      val ctx1 = if (n == 1) 1 else 0
+      val diffX = p.x - last.x
+      icDx.compress(lastXDiff(m).get, diffX, ctx1)
+      last.x = p.x
+      lastXDiff(m).add(diffX)
+      val kx = icDx.lastK
+      val diffY = p.y - last.y
+      icDy.compress(lastYDiff(m).get, diffY, ctx1 + (if (kx < 20) kx & 0xFE else 20))
+      last.y = p.y
+      lastYDiff(m).add(diffY)
+      val kz = (kx + icDy.lastK) / 2
+      icZ.compress(lastHeight(l), p.z, ctx1 + (if (kz < 18) kz & 0xFE else 18))
+      last.z = p.z
+      lastHeight(l) = p.z
+    }
+  }
+
+  final class GpsTime11V2Enc(enc: ArithmeticEncoder) {
+    private val mMulti = new SymbolModel(516)
+    private val m0Diff = new SymbolModel(6)
+    private val icGps = new IntegerCompressorEnc(enc, 32, 9)
+    private val lastGps = new Array[Long](4)
+    private var cur = 0
+
+    def init(raw: Array[Byte], off: Int): Unit = {
+      var v = 0L; var i = 7
+      while (i >= 0) { v = (v << 8) | (raw(off + i) & 0xFF); i -= 1 }
+      lastGps(0) = v
+    }
+
+    /** Simplest-valid choice: unchanged -> 0, everything else -> full
+      * 64-bit (symbol 2). lastDiff stays 0, so the decoder stays in the
+      * 0diff branch — states remain mirrored by construction. */
+    def write(bits: Long): Unit = {
+      if (bits == lastGps(cur)) { enc.encodeSymbol(m0Diff, 0); return }
+      enc.encodeSymbol(m0Diff, 2)
+      val next = (cur + 1) & 3
+      icGps.compress((lastGps(cur) >>> 32).toInt, (bits >>> 32).toInt, 8)
+      enc.writeBits(32, bits & 0xFFFFFFFFL)
+      lastGps(next) = bits
+      cur = next
+    }
+  }
+
+  final class Rgb12V2Enc(enc: ArithmeticEncoder) {
+    private val mByteUsed = new SymbolModel(128)
+    private val mDiff = Array.fill(6)(new SymbolModel(256))
+    private var lastR = 0; private var lastG = 0; private var lastB = 0
+
+    def init(raw: Array[Byte], off: Int): Unit = {
+      def u16(o: Int) = (raw(off + o) & 0xFF) | ((raw(off + o + 1) & 0xFF) << 8)
+      lastR = u16(0); lastG = u16(2); lastB = u16(4)
+    }
+
+    def write(r: Int, g: Int, b: Int): Unit = {
+      var sym = 0
+      if ((r & 255) != (lastR & 255)) sym |= 1
+      if ((r >>> 8) != (lastR >>> 8)) sym |= 2
+      // bit 64: green/blue transmitted (clear means g = b = r)
+      val copied = g == r && b == r
+      if (!copied) {
+        sym |= 64
+        if ((g & 255) != (lastG & 255)) sym |= 4
+        if ((g >>> 8) != (lastG >>> 8)) sym |= 8
+        if ((b & 255) != (lastB & 255)) sym |= 16
+        if ((b >>> 8) != (lastB >>> 8)) sym |= 32
+      }
+      enc.encodeSymbol(mByteUsed, sym)
+      if ((sym & 1) != 0) enc.encodeSymbol(mDiff(0), ((r & 255) - (lastR & 255)) & 0xFF)
+      if ((sym & 2) != 0) enc.encodeSymbol(mDiff(1), ((r >>> 8) - (lastR >>> 8)) & 0xFF)
+      if ((sym & 64) != 0) {
+        var diff = (r & 255) - (lastR & 255)
+        if ((sym & 4) != 0)
+          enc.encodeSymbol(mDiff(2), ((g & 255) - u8clamp(diff + (lastG & 255))) & 0xFF)
+        val gl = if ((sym & 4) != 0) g & 255 else lastG & 255
+        if ((sym & 16) != 0) {
+          diff = (diff + (gl - (lastG & 255))) / 2
+          enc.encodeSymbol(mDiff(4), ((b & 255) - u8clamp(diff + (lastB & 255))) & 0xFF)
+        }
+        diff = (r >>> 8) - (lastR >>> 8)
+        if ((sym & 8) != 0)
+          enc.encodeSymbol(mDiff(3), ((g >>> 8) - u8clamp(diff + (lastG >>> 8))) & 0xFF)
+        val gh = if ((sym & 8) != 0) g >>> 8 else lastG >>> 8
+        if ((sym & 32) != 0) {
+          diff = (diff + (gh - (lastG >>> 8))) / 2
+          enc.encodeSymbol(mDiff(5), ((b >>> 8) - u8clamp(diff + (lastB >>> 8))) & 0xFF)
+        }
+      }
+      lastR = r; lastG = g; lastB = b
+    }
+  }
+
+  /** Compress raw point records (pointCount * recordLen bytes) into a
+    * compressor-2 LAZ point block: [i64 chunk-table offset][chunks...]
+    * [chunk table], ready to append after the LAS header + VLRs at
+    * `dataOffset`. Returns the block bytes. */
+  def compress(raw: Array[Byte], pointCount: Int, recordLen: Int,
+               pointFormat: Int, chunkSize: Int, dataOffset: Long): Array[Byte] = {
+    require(pointFormat >= 0 && pointFormat <= 3, s"laz writer supports formats 0-3, got $pointFormat")
+    val hasTime = graft.sources.LasDecode.hasTime(pointFormat)
+    val hasColor = graft.sources.LasDecode.hasColor(pointFormat)
+    val chunkBlobs = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+    var done = 0
+    while (done < pointCount) {
+      val n = math.min(chunkSize, pointCount - done)
+      val enc = new ArithmeticEncoder
+      // raw first point seeds every item's prediction state
+      enc.appendRaw(raw, done * recordLen, recordLen)
+      val p10 = new Point10V2Enc(enc)
+      p10.init(raw, done * recordLen)
+      val gps = if (hasTime) { val g = new GpsTime11V2Enc(enc); g.init(raw, done * recordLen + 20); g } else null
+      val rgb = if (hasColor) {
+        val c = new Rgb12V2Enc(enc)
+        c.init(raw, done * recordLen + (if (hasTime) 28 else 20)); c
+      } else null
+      enc.init()
+      val pt = new Point10
+      var i = 1
+      while (i < n) {
+        val off = (done + i) * recordLen
+        pt.setFrom(raw, off)
+        p10.write(pt)
+        if (gps != null) {
+          var v = 0L; var j = 7
+          while (j >= 0) { v = (v << 8) | (raw(off + 20 + j) & 0xFF); j -= 1 }
+          gps.write(v)
+        }
+        if (rgb != null) {
+          val co = off + (if (hasTime) 28 else 20)
+          def u16(o: Int) = (raw(o) & 0xFF) | ((raw(o + 1) & 0xFF) << 8)
+          rgb.write(u16(co), u16(co + 2), u16(co + 4))
+        }
+        i += 1
+      }
+      enc.done()
+      chunkBlobs += enc.bytes
+      done += n
+    }
+    // chunk table: u32 version 0, u32 count, then IC(32,2)-coded sizes
+    val tenc = new ArithmeticEncoder
+    tenc.init()
+    val tic = new IntegerCompressorEnc(tenc, 32, 2)
+    var prev = 0
+    chunkBlobs.foreach { b => tic.compress(prev, b.length, 1); prev = b.length }
+    tenc.done()
+    val tableBody = tenc.bytes
+    val chunksLen = chunkBlobs.map(_.length).sum
+    val outLen = 8 + chunksLen + 8 + tableBody.length
+    val out = java.nio.ByteBuffer.allocate(outLen).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.putLong(dataOffset + 8 + chunksLen) // absolute chunk-table offset
+    chunkBlobs.foreach(out.put)
+    out.putInt(0)                  // table version
+    out.putInt(chunkBlobs.length)  // chunk count
+    out.put(tableBody)
+    out.array()
+  }
+
+  /** The "laszip encoded" VLR payload (52 bytes, record 22204). */
+  def vlrPayload(pointFormat: Int, chunkSize: Int): Array[Byte] = {
+    val hasTime = graft.sources.LasDecode.hasTime(pointFormat)
+    val hasColor = graft.sources.LasDecode.hasColor(pointFormat)
+    val items = Seq((LazDecoder.ItemPoint10, 20, 2)) ++
+      (if (hasTime) Seq((LazDecoder.ItemGpsTime11, 8, 2)) else Nil) ++
+      (if (hasColor) Seq((LazDecoder.ItemRgb12, 6, 2)) else Nil)
+    val bb = java.nio.ByteBuffer.allocate(34 + 6 * items.size)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.putShort(2)            // compressor: chunked
+    bb.putShort(0)            // coder: arithmetic
+    bb.put(2.toByte); bb.put(0.toByte); bb.putShort(0) // version 2.0 r0
+    bb.putInt(0)              // options
+    bb.putInt(chunkSize)
+    bb.putLong(-1L)           // num special evlrs
+    bb.putLong(-1L)           // offset special evlrs
+    bb.putShort(items.size.toShort)
+    items.foreach { case (t, s, v) =>
+      bb.putShort(t.toShort); bb.putShort(s.toShort); bb.putShort(v.toShort)
+    }
+    bb.array()
+  }
+}

@@ -1,7 +1,7 @@
 package graft
 
 import org.scalatest.funsuite.AnyFunSuite
-import graft.sources.LasDecode
+import graft.sources.{LasDecode, LasWriter}
 
 /** LASzip (.laz) decode: the clean-room decompressor must reproduce the
   * uncompressed ground-truth fixtures BIT-FOR-BIT — every field of every
@@ -58,6 +58,75 @@ class LazFormatSpec extends AnyFunSuite {
     val truth = LasDecode.asDataFrame(spark, s"$RefData/las/simple.las")
       .filter(org.apache.spark.sql.functions.col("classification") === 2)
     assert(out.count() === truth.count() && out.count() > 0)
+  }
+
+  test("chunk-table parse: single-chunk fixture starts right after the table offset") {
+    import java.nio.{ByteBuffer, ByteOrder}
+    val bytes = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$RefData/laszip/laszip-generated.laz"))
+    val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    val h = LasDecode.readHeader(bb)
+    val starts = graft.sources.laz.LazDecoder.chunkStarts(bytes, h.dataOffset.toInt, 1)
+    assert(starts === Seq(h.dataOffset.toInt + 8))
+    // the stored table offset itself points inside the file, before EOF
+    val tableOff = bb.getLong(h.dataOffset.toInt)
+    assert(tableOff > h.dataOffset && tableOff < bytes.length)
+  }
+
+  test("laz WRITE round-trip: P1065 encoded as .laz decodes bit-for-bit") {
+    val (h0, rows0) = LasDecode.readPoints(P1065)
+    val df = LasDecode.asDataFrame(spark, P1065).orderBy("span_idx")
+    val out = java.nio.file.Files.createTempFile("graftlazw", ".laz").toString
+    LasWriter.writeLaz(out, df, pointFormat = h0.pointFormat,
+      LasWriter.XForms(h0.sx, h0.sy, h0.sz, h0.ox, h0.oy, h0.oz))
+    val (h1, rows1) = LasDecode.readPoints(out)
+    assert(h1.pointFormat === h0.pointFormat && h1.pointCount === 1065)
+    rows0.zip(rows1).zipWithIndex.foreach { case ((a, b), i) =>
+      assert(a === b, s"row $i differs after laz round-trip")
+    }
+    // and it actually compresses
+    val rawSize = java.nio.file.Files.size(java.nio.file.Paths.get(P1065))
+    val lazSize = java.nio.file.Files.size(java.nio.file.Paths.get(out))
+    assert(lazSize < rawSize, s"laz $lazSize not smaller than las $rawSize")
+  }
+
+  test("multi-chunk laz: small chunk size exercises the chunk table end-to-end") {
+    // no reference fixture is multi-chunk — our own writer provides one:
+    // 1065 points at chunkSize 300 = 4 chunks + a real chunk table
+    val (h0, rows0) = LasDecode.readPoints(s"$RefData/laszip/basefile.las")
+    val df = LasDecode.asDataFrame(spark, s"$RefData/laszip/basefile.las")
+      .orderBy("span_idx")
+    val out = java.nio.file.Files.createTempFile("graftlazmc", ".laz").toString
+    LasWriter.writeLaz(out, df, pointFormat = h0.pointFormat,
+      LasWriter.XForms(h0.sx, h0.sy, h0.sz, h0.ox, h0.oy, h0.oz), chunkSize = 300)
+    // the table really holds 4 chunks at increasing offsets
+    val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(out))
+    val h1 = LasDecode.readHeader(java.nio.ByteBuffer.wrap(bytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN))
+    val starts = graft.sources.laz.LazDecoder.chunkStarts(bytes, h1.dataOffset.toInt, 4)
+    assert(starts.size === 4 && starts === starts.sorted && starts.distinct.size === 4)
+    val (_, rows1) = LasDecode.readPoints(out)
+    rows0.zip(rows1).zipWithIndex.foreach { case ((a, b), i) =>
+      assert(a === b, s"row $i differs after multi-chunk round-trip")
+    }
+  }
+
+  test("pipeline writers.las with a .laz path compresses, then reads back") {
+    val out = java.nio.file.Files.createTempDirectory("graftlazpipe").toString + "/c.laz"
+    graft.plans.Pipeline.run(spark,
+      s"""{ "pipeline": [
+         |  {"type": "readers.las", "path": "$P1065"},
+         |  {"type": "writers.las", "path": "$out", "format": 3,
+         |   "scale": [0.01, 0.01, 0.01], "offset": [630000, 848000, 400]}
+         |]}""".stripMargin)
+    val reread = LasDecode.asDataFrame(spark, out)
+    assert(reread.count() === 1065)
+    // compressed round trip preserves the quantized grid exactly
+    val direct = LasDecode.asDataFrame(spark, P1065)
+    val maxErr = reread.orderBy("span_idx").select("x").collect().map(_.getDouble(0))
+      .zip(direct.orderBy("span_idx").select("x").collect().map(_.getDouble(0)))
+      .map { case (a, b) => math.abs(a - b) }.max
+    assert(maxErr <= 0.005 + 1e-9, s"x error $maxErr beyond half a scale step")
   }
 
   test("offset-split ingest refuses compressed streams loudly") {
