@@ -145,31 +145,39 @@ object TileOps {
     try {
     val total = df.count()
     if (total == 0) return df.withColumn("chip", lit(0L))
-    val grid = (0 to quantiles).map(_.toDouble / quantiles).toArray
-    val gridExpr = s"array(${grid.mkString(",")})"
 
     var cur = df.select(col("doc_id"), col("span_idx"), col("x"), col("y"))
       .withColumn("__node", lit(0L))
     var active = true
     var round = 0
+    // nodes that might still split: root, then only the children of the
+    // nodes split last round. Restricting the per-round stats aggregate
+    // to them skips the (expensive) percentile sketches for every
+    // already-finished node's rows — most of the data after a few rounds.
+    var activeNodes: Seq[Long] = Seq(0L)
     val maxRounds = 64 - java.lang.Long.numberOfLeadingZeros(
       math.max(1, total / capacity)) + 3
     while (active && round < maxRounds) {
-      val stats = cur.groupBy(col("__node")).agg(
+      val statsSrc =
+        if (activeNodes.size <= 4096) cur.filter(col("__node").isin(activeNodes: _*))
+        else cur
+      // only the MEDIAN drives a split: one scalar sketch per axis, not
+      // a percentile grid (same sketch error bound, fraction of the work)
+      val stats = statsSrc.groupBy(col("__node")).agg(
         count(lit(1)).as("n"),
         min("x").as("mnx"), max("x").as("mxx"),
         min("y").as("mny"), max("y").as("mxy"),
-        expr(s"approx_percentile(x, $gridExpr, 10000)").as("qx"),
-        expr(s"approx_percentile(y, $gridExpr, 10000)").as("qy"))
+        expr(s"approx_percentile(x, 0.5D, 1000)").as("qx"),
+        expr(s"approx_percentile(y, 0.5D, 1000)").as("qy"))
         .collect()
       val splits = stats.filter(_.getAs[Long]("n") > capacity).map { r =>
         val id = r.getAs[Long]("__node")
         val onX = (r.getAs[Double]("mxx") - r.getAs[Double]("mnx")) >
           (r.getAs[Double]("mxy") - r.getAs[Double]("mny"))
-        val q = r.getSeq[Double](if (onX) 6 else 7) // qx / qy ordinals
-        val cut = q((quantiles / 2).min(q.length - 1))
+        val cut = r.getAs[Double](if (onX) "qx" else "qy")
         (id, onX, cut)
       }
+      activeNodes = splits.toSeq.flatMap { case (id, _, _) => Seq(id * 2 + 1, id * 2 + 2) }
       if (splits.isEmpty) active = false
       else {
         val axisByNode = map(splits.toSeq.flatMap { case (id, ax, _) =>
