@@ -117,6 +117,10 @@ object Pipeline {
         if (!path.exists("*?[".contains(_)))
           ctx.inferredSrs = LasDecode.srsOf(path)
         st.int("splits") match {
+          case Some(_) if LasDecode.isLaszip(path) =>
+            // compressed records aren't offset-splittable; LAZ chunks
+            // are the natural parallel unit instead
+            LasDecode.asChunkSplitDataFrame(spark, path)
           case Some(n) => LasDecode.asSplitDataFrame(spark, path, n)
           case None if st.bool("distributed").getOrElse(false) =>
             LasDecode.asDistributedDataFrame(spark, path)
@@ -284,10 +288,11 @@ object Pipeline {
         // a .laz path (or "compression": true) emits LASzip; default
         // stays the single-file driver emit for fixture parity
         val wpath = st.str("path").get
+        val compressed = wpath.endsWith(".laz") || st.bool("compression").getOrElse(false)
         st.str("shard_column") match {
-          case Some(sc) => LasWriter.writeSharded(wpath, d, fmt, xf, sc)
-          case None if wpath.endsWith(".laz") || st.bool("compression").getOrElse(false) =>
-            LasWriter.writeLaz(wpath, d, fmt, xf)
+          case Some(sc) =>
+            LasWriter.writeSharded(wpath, d, fmt, xf, sc, compress = compressed)
+          case None if compressed => LasWriter.writeLaz(wpath, d, fmt, xf)
           case None => LasWriter.write(wpath, d, fmt, xf)
         }
         d

@@ -307,6 +307,88 @@ object LasDecode {
     }(rowEnc)
   }
 
+  /** True iff the file's point-format byte carries the laszip
+    * compression bits (header peek only). */
+  def isLaszip(path: String): Boolean = {
+    val in = Files.newInputStream(Paths.get(path))
+    val head = try in.readNBytes(105) finally in.close()
+    head.length > 104 && (head(104) & 0xC0) != 0
+  }
+
+  /** CHUNK-parallel LASzip ingest: ONE large .laz fanned across
+    * executors at LAZ chunk boundaries. Chunks are self-contained by
+    * design (raw seed point + fresh entropy models), and the chunk
+    * table gives their exact byte offsets, so each task reads only its
+    * chunk's byte range through the Hadoop FileSystem and decodes it
+    * independently — the compressed counterpart of
+    * [[asSplitDataFrame]]: a 500 GB .laz (50k-point chunks) becomes
+    * tens of thousands of parallel units instead of one pinned
+    * executor. span_idx stays the absolute record index, so chunk
+    * parallelism never changes the decoded frame. */
+  def asChunkSplitDataFrame(spark: SparkSession, path: String,
+                            docId: String = "las"): DataFrame = {
+    val absPath = Paths.get(path).toAbsolutePath.toString
+    // driver reads ONLY header + VLR block + chunk table
+    val headBlock = {
+      val in = Files.newInputStream(Paths.get(absPath))
+      try {
+        val head = in.readNBytes(375)
+        val dataOffset = ByteBuffer.wrap(head).order(ByteOrder.LITTLE_ENDIAN)
+          .getInt(96) & 0xffffffffL
+        head ++ in.readNBytes(math.max(0L, dataOffset + 8 - head.length).toInt)
+      } finally in.close()
+    }
+    val bb = ByteBuffer.wrap(headBlock).order(ByteOrder.LITTLE_ENDIAN)
+    val h = readHeader(bb)
+    val vlr = lazVlrOf(bb).getOrElse(
+      throw new IllegalArgumentException(s"$path is not a LASzip stream"))
+    val fileLen = Files.size(Paths.get(absPath))
+    val chunk =
+      if (vlr.compressor == 2 && vlr.chunkSize > 0) vlr.chunkSize.toInt
+      else h.pointCount.toInt
+    val nChunks = math.max(1, ((h.pointCount + chunk - 1) / chunk).toInt)
+    val tableOff = if (vlr.compressor == 2) bb.getLong(h.dataOffset.toInt) else fileLen
+    val starts: Seq[Long] =
+      if (vlr.compressor == 2 && nChunks > 1) {
+        // read ONLY the table region — never the chunk data
+        require(tableOff > 0 && tableOff + 8 <= fileLen,
+          s"laszip chunk table offset $tableOff outside $path")
+        val table = {
+          val in = Files.newInputStream(Paths.get(absPath))
+          try { in.skipNBytes(tableOff); in.readNBytes((fileLen - tableOff).toInt) }
+          finally in.close()
+        }
+        laz.LazDecoder.chunkSizesFromTable(table, nChunks - 1)
+          .scanLeft(h.dataOffset + 8)(_ + _)
+      } else if (vlr.compressor == 2) Seq(h.dataOffset + 8)
+      else Seq(h.dataOffset)
+    val chunksEnd = if (tableOff > 0 && tableOff <= fileLen) tableOff else fileLen
+    val descs = starts.zipWithIndex.map { case (s, i) =>
+      // +8 slack: the arithmetic decoder primes lookahead bytes past a
+      // chunk's own payload
+      val end = (if (i + 1 < starts.size) starts(i + 1) else chunksEnd) + 8
+      val count = math.min(chunk.toLong, h.pointCount - i.toLong * chunk).toInt
+      (i, s, math.min(end, fileLen), count)
+    }
+    val rowEnc = org.apache.spark.sql.Encoders.row(schema)
+    import spark.implicits._
+    spark.createDataset(descs).repartition(descs.size)
+      .flatMap { case (ci, start, end, count) =>
+        val hp = new org.apache.hadoop.fs.Path(absPath)
+        val fs = hp.getFileSystem(new org.apache.hadoop.conf.Configuration())
+        val in = fs.open(hp)
+        val buf = new Array[Byte]((end - start).toInt)
+        try in.readFully(start.toLong, buf, 0, buf.length)
+        finally in.close()
+        val raw = laz.LazDecoder.decompressChunk(buf, 0, count, h.recordLen, vlr)
+        val rb = ByteBuffer.wrap(raw).order(ByteOrder.LITTLE_ENDIAN)
+        val base = ci.toLong * chunk
+        (0 until count).iterator.map { i =>
+          decodeRecord(rb, i * h.recordLen, h, docId, (base + i).toInt)
+        }
+      }(rowEnc)
+  }
+
   /** Offset-SPLIT LAS ingest: ONE large file fanned across `numSplits`
     * executor tasks at record boundaries (records are fixed-length, so a
     * split is a pure [startRecord, endRecord) range — the same move

@@ -221,12 +221,21 @@ object LasWriter {
       encodeRecord(rec, it.next(), ix, pointFormat, xf, s)
       body.write(rec.array(), 0, rl)
     }
-    val raw = body.toByteArray
+    val bytes = lazContainerBytes(body.toByteArray, pointFormat, xf, s, chunkSize)
+    Files.write(Paths.get(path), bytes)
+    LasDecode.readHeader(ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN))
+  }
+
+  /** Full .laz file bytes for already-encoded raw records + summary:
+    * patched 1.2 header (laszip format bit, 1 VLR), the laszip VLR, and
+    * the chunked compressed block with its chunk table. Shared by the
+    * single-file and executor-sharded compressed writers. */
+  private def lazContainerBytes(raw: Array[Byte], pointFormat: Int, xf: XForms,
+                                s: Summary, chunkSize: Int): Array[Byte] = {
+    val rl = recordLen(pointFormat)
     val hdr = headerBytes(pointFormat, xf, s)
     val vlrPayload = graft.sources.laz.LazEncoder.vlrPayload(pointFormat, chunkSize)
     val dataOffset = hdr.length + 54 + vlrPayload.length
-    // patch header for the compressed container: laszip bit on the
-    // format byte, 1 VLR, data offset past it
     val hb = ByteBuffer.wrap(hdr).order(ByteOrder.LITTLE_ENDIAN)
     hb.putInt(96, dataOffset)
     hb.putInt(100, 1)
@@ -241,8 +250,7 @@ object LasWriter {
       raw, s.count.toInt, rl, pointFormat, chunkSize, dataOffset.toLong)
     val out = new ByteArrayOutputStream(dataOffset + block.length)
     out.write(hdr); out.write(vlrHead.array()); out.write(vlrPayload); out.write(block)
-    Files.write(Paths.get(path), out.toByteArray)
-    LasDecode.readHeader(ByteBuffer.wrap(hdr).order(ByteOrder.LITTLE_ENDIAN))
+    out.toByteArray
   }
 
   /** Bulk-export production path: one LAS shard per distinct value of
@@ -262,7 +270,8 @@ object LasWriter {
     * shard). Reference discipline: io/las/LasWriter.cpp single-file
     * serial emit, fanned out per shard as VERDICT r2 #3 specified. */
   def writeSharded(dir: String, df: DataFrame, pointFormat: Int, xf: XForms,
-                   shardCol: String, numTasks: Int = 0): Seq[String] = {
+                   shardCol: String, numTasks: Int = 0,
+                   compress: Boolean = false): Seq[String] = {
     import org.apache.spark.sql.Encoders
     Files.createDirectories(Paths.get(dir))
     val rl = recordLen(pointFormat)
@@ -270,6 +279,8 @@ object LasWriter {
     val ix = ColIx.of(cols)
     val shardIdx = cols.indexOf(shardCol)
     require(shardIdx >= 0, s"shard column $shardCol not in ${cols.mkString(",")}")
+    require(!compress || pointFormat <= 3,
+      s"compressed shards support formats 0-3, got $pointFormat")
     val tasks = if (numTasks > 0) numTasks
                 else df.sparkSession.sparkContext.defaultParallelism
     val sortKeys = (Seq(shardCol) ++ Seq("doc_id", "span_idx").filter(cols.contains))
@@ -283,19 +294,37 @@ object LasWriter {
         var raf: java.io.RandomAccessFile = null
         var s: Summary = null
         var written = List.empty[String]
+        // compressed path buffers the shard's raw records (a shard is
+        // one tile — bounded by the tiling capacity), then emits the
+        // whole .laz container at close; uncompressed streams records
+        var lazBuf: ByteArrayOutputStream = null
+        var lazName: String = null
         val headerLen = if (LasDecode.isV14(pointFormat)) 375 else 227
-        def close(): Unit = if (raf != null) {
-          raf.seek(0)
-          raf.write(headerBytes(pointFormat, xf, s))
-          raf.close(); raf = null
+        def close(): Unit = {
+          if (raf != null) {
+            raf.seek(0)
+            raf.write(headerBytes(pointFormat, xf, s))
+            raf.close(); raf = null
+          }
+          if (lazBuf != null) {
+            Files.write(Paths.get(s"$dir/$lazName"),
+              lazContainerBytes(lazBuf.toByteArray, pointFormat, xf, s, 50000))
+            lazBuf = null; lazName = null
+          }
         }
         def open(shard: Any): Unit = {
-          val name = s"shard_$shard.las"
-          raf = new java.io.RandomAccessFile(s"$dir/$name", "rw")
-          raf.setLength(0)
-          raf.write(new Array[Byte](headerLen)) // placeholder
           s = new Summary
-          written ::= name
+          if (compress) {
+            lazName = s"shard_$shard.laz"
+            lazBuf = new ByteArrayOutputStream()
+            written ::= lazName
+          } else {
+            val name = s"shard_$shard.las"
+            raf = new java.io.RandomAccessFile(s"$dir/$name", "rw")
+            raf.setLength(0)
+            raf.write(new Array[Byte](headerLen)) // placeholder
+            written ::= name
+          }
         }
         new Iterator[String] {
           private var done = false
@@ -304,9 +333,12 @@ object LasWriter {
             while (it.hasNext) {
               val row = it.next()
               val shard = row.get(shardIdx)
-              if (raf == null || shard != cur) { close(); open(shard); cur = shard }
+              if ((raf == null && lazBuf == null) || shard != cur) {
+                close(); open(shard); cur = shard
+              }
               encodeRecord(rec, row, ix, pointFormat, xf, s)
-              raf.write(rec.array(), 0, rl)
+              if (raf != null) raf.write(rec.array(), 0, rl)
+              else lazBuf.write(rec.array(), 0, rl)
             }
             close(); done = true
             written.mkString(",")

@@ -55,25 +55,27 @@ object LazDecoder {
     if (nChunks <= 1) return Seq(first)
     require(tableOff > 0 && tableOff + 8 <= data.length,
       s"laszip chunk table offset $tableOff outside file (truncated stream?)")
-    val t = tableOff.toInt
-    val version = bb.getInt(t)
-    val stored = bb.getInt(t + 4)
+    val sizes = chunkSizesFromTable(
+      data.slice(tableOff.toInt, data.length), nChunks - 1)
+    sizes.scanLeft(first)(_ + _)
+  }
+
+  /** Per-chunk compressed byte counts from the chunk-table BYTES alone
+    * (u32 version, u32 count, entropy-coded deltas) — so a driver can
+    * read just the table region of a huge file, never the chunks. */
+  def chunkSizesFromTable(table: Array[Byte], needed: Int): Seq[Int] = {
+    val tb = ByteBuffer.wrap(table).order(ByteOrder.LITTLE_ENDIAN)
+    val version = tb.getInt(0)
+    val stored = tb.getInt(4)
     require(version == 0, s"laszip chunk table version $version")
-    require(stored >= nChunks, s"chunk table holds $stored entries, need $nChunks")
-    val dec = new ArithmeticDecoder(data, t + 8)
+    require(stored >= needed, s"chunk table holds $stored entries, need $needed")
+    val dec = new ArithmeticDecoder(table, 8)
     dec.init()
     val ic = new IntegerDecompressor(dec, 32, 2)
-    val starts = new Array[Int](nChunks)
-    starts(0) = first
     var prev = 0
-    var i = 0
-    while (i < nChunks - 1) {
-      val size = ic.decompress(prev, 1)
-      starts(i + 1) = starts(i) + size
-      prev = size
-      i += 1
+    (0 until needed).map { _ =>
+      val s = ic.decompress(prev, 1); prev = s; s
     }
-    starts.toSeq
   }
 
   /** Decompress `pointCount` records of `recordLen` bytes each from
@@ -103,6 +105,16 @@ object LazDecoder {
       decoded += inChunk
       ci += 1
     }
+    out
+  }
+
+  /** Decode ONE chunk in isolation (chunks are self-contained by
+    * design: raw seed point + fresh models) — the unit of parallel
+    * decode for [[graft.sources.LasDecode.asChunkSplitDataFrame]]. */
+  def decompressChunk(data: Array[Byte], chunkStart: Int, n: Int,
+                      recordLen: Int, vlr: LazVlr): Array[Byte] = {
+    val out = new Array[Byte](n * recordLen)
+    decodeChunk(data, chunkStart, out, 0, n, recordLen, vlr)
     out
   }
 

@@ -129,6 +129,47 @@ class LazFormatSpec extends AnyFunSuite {
     assert(maxErr <= 0.005 + 1e-9, s"x error $maxErr beyond half a scale step")
   }
 
+  test("chunk-parallel laz ingest: one task per chunk, equal to the driver decode") {
+    // our encoder provides the multi-chunk file (4 chunks of <=300)
+    val (h0, _) = LasDecode.readPoints(s"$RefData/laszip/basefile.las")
+    val df = LasDecode.asDataFrame(spark, s"$RefData/laszip/basefile.las")
+      .orderBy("span_idx")
+    val out = java.nio.file.Files.createTempFile("graftlazcp", ".laz").toString
+    LasWriter.writeLaz(out, df, pointFormat = h0.pointFormat,
+      LasWriter.XForms(h0.sx, h0.sy, h0.sz, h0.ox, h0.oy, h0.oz), chunkSize = 300)
+    val par = LasDecode.asChunkSplitDataFrame(spark, out)
+    assert(par.rdd.getNumPartitions === 4, "expected one partition per chunk")
+    val drv = spark.createDataFrame(
+      spark.sparkContext.parallelize(LasDecode.readPoints(out)._2, 2), LasDecode.schema)
+    assert(par.count() === 1065)
+    // span_idx is absolute, so the frames are EQUAL, not just equivalent
+    assert(par.exceptAll(drv).isEmpty && drv.exceptAll(par).isEmpty)
+    // single-chunk reference fixture degrades to one task, same rows
+    val one = LasDecode.asChunkSplitDataFrame(spark, s"$RefData/laszip/laszip-generated.laz")
+    assert(one.rdd.getNumPartitions === 1 && one.count() === 1065)
+  }
+
+  test("compressed SHARDED export: executor-written .laz shards re-decode row-for-row") {
+    import org.apache.spark.sql.functions._
+    val (h0, _) = LasDecode.readPoints(P1065)
+    val df = LasDecode.asDataFrame(spark, P1065)
+      .withColumn("shard", pmod(col("span_idx"), lit(3)))
+    val dir = java.nio.file.Files.createTempDirectory("graftlazshard").toString
+    val files = LasWriter.writeSharded(dir, df, pointFormat = h0.pointFormat,
+      LasWriter.XForms(h0.sx, h0.sy, h0.sz, h0.ox, h0.oy, h0.oz), "shard",
+      compress = true)
+    assert(files === Seq("shard_0.laz", "shard_1.laz", "shard_2.laz"))
+    val redecoded = LasDecode.asDistributedDataFrame(spark, s"$dir/*.laz")
+      .drop("doc_id", "span_idx")
+    val original = LasDecode.asDataFrame(spark, P1065).drop("doc_id", "span_idx")
+    assert(redecoded.count() === 1065)
+    assert(redecoded.exceptAll(original).isEmpty && original.exceptAll(redecoded).isEmpty)
+    // each shard really is a laszip container, smaller than its raw form
+    files.foreach { f =>
+      assert(LasDecode.isLaszip(s"$dir/$f"), s"$f lacks the laszip format bit")
+    }
+  }
+
   test("offset-split ingest refuses compressed streams loudly") {
     val ex = intercept[IllegalArgumentException] {
       LasDecode.asSplitDataFrame(spark, s"$RefData/laz/simple.laz", 2).count()
