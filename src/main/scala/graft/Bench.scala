@@ -51,6 +51,24 @@ object Bench {
           require(sizes.max <= (250000 * 1.3).toLong,
             s"approx chip ${sizes.max} exceeds capacity + sketch slack")
         }
+      }),
+      // compressed-archive ingest throughput: 16 executor-written .laz
+      // shards (~600k points) decoded in parallel by the clean-room
+      // LASzip codec — the ".laz is most real-world data" path measured
+      "x_laz_ingest_16shards" -> (() => {
+        import org.apache.spark.sql.functions._
+        val dir = java.nio.file.Files.createTempDirectory("graftlazbench").toString
+        val src = graft.model.Model.explodePoints(
+            graft.sources.DocSynth.cachedDocs(spark, sfDir))
+          .withColumn("shard", pmod(col("span_idx") + length(col("doc_id")), lit(16)))
+        graft.sources.LasWriter.writeSharded(dir, src, pointFormat = 1,
+          graft.sources.LasWriter.XForms(0.001, 0.001, 0.001, 0, 0, 0),
+          "shard", compress = true)
+        val expected = src.count()
+        () => {
+          val n = graft.sources.LasDecode.asDistributedDataFrame(spark, s"$dir/*.laz").count()
+          require(n == expected, s"laz ingest decoded $n of $expected points")
+        }
       }))
     val extraResults = extras.map { case (name, setup) =>
       try { timed(name)(setup()) }
