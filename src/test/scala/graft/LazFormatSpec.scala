@@ -170,6 +170,25 @@ class LazFormatSpec extends AnyFunSuite {
     }
   }
 
+  test("degenerate laz writes: empty and single-point clouds round-trip") {
+    val xf = LasWriter.XForms(0.01, 0.01, 0.01, 0, 0, 0)
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], LasDecode.schema)
+    val p0 = java.nio.file.Files.createTempFile("graftlaz0", ".laz").toString
+    val h0 = LasWriter.writeLaz(p0, empty, pointFormat = 0, xf)
+    assert(h0.pointCount === 0)
+    assert(LasDecode.readPoints(p0)._2.isEmpty)
+    val one = spark.createDataFrame(spark.sparkContext.parallelize(Seq(
+      org.apache.spark.sql.Row("d", 0, 1.23, -4.56, 7.89, 42, 1.toShort, 1.toShort,
+        2.toShort, 3.0f, 9.toShort, 77, 1234.5, 0, 0, 0, 0, 0.toShort))), LasDecode.schema)
+    val p1 = java.nio.file.Files.createTempFile("graftlaz1", ".laz").toString
+    LasWriter.writeLaz(p1, one, pointFormat = 1, xf)
+    val (h1, rows) = LasDecode.readPoints(p1)
+    assert(h1.pointCount === 1 && rows.size === 1)
+    assert(math.abs(rows.head.getDouble(2) - 1.23) <= 0.005)
+    assert(rows.head.getDouble(12) === 1234.5)
+  }
+
   test("offset-split ingest refuses compressed streams loudly") {
     val ex = intercept[IllegalArgumentException] {
       LasDecode.asSplitDataFrame(spark, s"$RefData/laz/simple.laz", 2).count()
