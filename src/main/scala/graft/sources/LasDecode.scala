@@ -298,13 +298,20 @@ object LasDecode {
       val docId = path.substring(path.lastIndexOf('/') + 1)
       val bytes = r.getAs[Array[Byte]](1)
       val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
-      val h = readHeader(bb)
-      requireSingleBuffer(h)
-      val (pb, off0) = pointBytes(bytes, bb, h)
-      (0L until h.pointCount).iterator.map { i =>
-        decodeRecord(pb, (off0 + i * h.recordLen).toInt, h, docId, i.toInt)
-      }
+      decodeAll(bytes, bb, readHeader(bb), docId)
     }(rowEnc)
+  }
+
+  /** Every record of a whole-file LAS/LAZ buffer as Rows (decompressing
+    * laszip streams first) — the per-file unit the distributed and
+    * streaming ingests share. */
+  def decodeAll(bytes: Array[Byte], bb: ByteBuffer, h: LasHeader,
+                docId: String): Iterator[Row] = {
+    requireSingleBuffer(h)
+    val (pb, off0) = pointBytes(bytes, bb, h)
+    (0L until h.pointCount).iterator.map { i =>
+      decodeRecord(pb, (off0 + i * h.recordLen).toInt, h, docId, i.toInt)
+    }
   }
 
   /** True iff the file's point-format byte carries the laszip

@@ -142,4 +142,45 @@ object StreamOps {
       .start()
     q.awaitTermination()
   }
+
+  /** Streaming LAS/LAZ archive ingest: watch a landing directory for
+    * dropped .las/.laz files (the standard survey-delivery pattern),
+    * decode each in the executors — LASzip decompression included, via
+    * the same fixture-pinned decode every batch path uses — and append
+    * the point frame to parquet with a per-batch lineage manifest.
+    * Exactly-once per FILE comes free from the file-source checkpoint
+    * (a file is never re-listed once committed). */
+  def ingestLasFiles(spark: SparkSession, landingDir: String, outPath: String,
+                     ckRoot: String, glob: String = "*.la[sz]"): Unit = {
+    // the binaryFile source's fixed schema, required explicitly for streams
+    val binSchema = StructType(Seq(
+      StructField("path", StringType), StructField("modificationTime", TimestampType),
+      StructField("length", LongType), StructField("content", BinaryType)))
+    val stream = spark.readStream.format("binaryFile")
+      .schema(binSchema)
+      .option("pathGlobFilter", glob)
+      .load(landingDir)
+      .select("path", "content")
+    val rowEnc = org.apache.spark.sql.Encoders.row(graft.sources.LasDecode.schema)
+    val q = stream.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val pts = batch.flatMap { r =>
+          val path = r.getString(0)
+          val docId = path.substring(path.lastIndexOf('/') + 1)
+          val bytes = r.getAs[Array[Byte]](1)
+          val bb = java.nio.ByteBuffer.wrap(bytes)
+            .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+          val h = graft.sources.LasDecode.readHeader(bb)
+          graft.sources.LasDecode.decodeAll(bytes, bb, h, docId)
+        }(rowEnc)
+        pts.write.mode("append").parquet(outPath)
+        graft.plans.Manifest.checkpoint(ckRoot, f"lasbatch_$batchId%05d",
+          s"las-ingest-$batchId", Nil, pts)
+        ()
+      }
+      .option("checkpointLocation", s"$ckRoot/_las_stream_ck")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
 }

@@ -81,4 +81,32 @@ class StreamingSpec extends AnyFunSuite {
       .filter(_.getName.startsWith("batch_"))
     assert(manifests.nonEmpty, "no lineage manifests written")
   }
+
+  test("streaming LAS landing-dir ingest: mixed .las/.laz, exactly-once per file") {
+    import graft.sources.{LasDecode, LasWriter}
+    val tmp = java.nio.file.Files.createTempDirectory("graftlasstream").toString
+    val landing = s"$tmp/landing"; java.nio.file.Files.createDirectories(java.nio.file.Paths.get(landing))
+    // drop one uncompressed and one compressed delivery
+    val p1065 = TestSpark.P1065
+    java.nio.file.Files.copy(java.nio.file.Paths.get(p1065),
+      java.nio.file.Paths.get(s"$landing/a.las"))
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get("/root/reference/test/data/laz/simple.laz"),
+      java.nio.file.Paths.get(s"$landing/b.laz"))
+    StreamOps.ingestLasFiles(spark, landing, s"$tmp/out", s"$tmp/ck")
+    val out1 = spark.read.parquet(s"$tmp/out")
+    assert(out1.count() === 2130, s"got ${out1.count()}") // 1065 + 1065
+    assert(out1.select("doc_id").distinct().count() === 2)
+    // drop a THIRD file: re-run ingests ONLY it (file-source checkpoint)
+    val (h0, _) = LasDecode.readPoints(p1065)
+    val small = LasDecode.asDataFrame(spark, p1065).limit(10)
+    LasWriter.writeLaz(s"$landing/c.laz", small, h0.pointFormat,
+      LasWriter.XForms(h0.sx, h0.sy, h0.sz, h0.ox, h0.oy, h0.oz))
+    StreamOps.ingestLasFiles(spark, landing, s"$tmp/out", s"$tmp/ck")
+    val out2 = spark.read.parquet(s"$tmp/out")
+    assert(out2.count() === 2140, s"got ${out2.count()} — old files re-ingested?")
+    val manifests = new java.io.File(tmp, "ck").listFiles()
+      .filter(_.getName.startsWith("lasbatch_"))
+    assert(manifests.nonEmpty, "no lineage manifests written")
+  }
 }
