@@ -135,12 +135,12 @@ object TileOps {
   /** Approximate chipper — the scale path promised in SCALE.md: same
     * contract (chips ≈ capacity, spatially contiguous, squarish splits
     * along the wider axis) but split positions come from per-node
-    * approximate quantiles computed for ALL nodes in ONE aggregate per
-    * round, and assignment is a map-only comparison against broadcast
-    * cut values — no rank window, no per-node sort. Chip sizes are
-    * within the quantile sketch's error of the exact sizes; use
-    * [[chipper]] when exact reference parity matters. */
-  def chipperApprox(capacity: Long, quantiles: Int = 200)(df0: DataFrame): DataFrame = {
+    * approximate MEDIANS computed for all still-splittable nodes in ONE
+    * aggregate per round, and assignment is a map-only comparison
+    * against broadcast cut values — no rank window, no per-node sort.
+    * Chip sizes are within the quantile sketch's error of the exact
+    * sizes; use [[chipper]] when exact reference parity matters. */
+  def chipperApprox(capacity: Long)(df0: DataFrame): DataFrame = {
     val df = df0.cache() // released in finally; see chipper
     try {
     val total = df.count()
