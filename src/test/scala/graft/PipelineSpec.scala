@@ -87,6 +87,27 @@ class PipelineSpec extends AnyFunSuite {
     assert(exactSizes.max <= 1000, "exact chipper must never exceed capacity")
   }
 
+  test("chipper auto mode routes by input size") {
+    def run(threshold: Int): Array[Long] = Pipeline.run(spark,
+      s"""{ "pipeline": [
+         |  {"type": "readers.faux", "mode": "uniform",
+         |   "bounds": [0, 0, 0, 500, 500, 10], "count": 4000, "seed": 3},
+         |  {"type": "filters.chipper", "method": "auto", "capacity": 500,
+         |   "auto_threshold": $threshold}
+         |]}""".stripMargin).df
+      .select("chip").distinct().collect()
+      .map(_.getAs[Number](0).longValue).sorted
+    // big threshold -> exact path: chip ids are the contiguous ordinals 0..m-1
+    val exactChips = run(1000000)
+    assert(exactChips === exactChips.indices.map(_.toLong).toArray,
+      s"exact chipper ids not contiguous: ${exactChips.mkString(",")}")
+    // tiny threshold -> approx path: chip ids are recursion-tree node ids
+    // (never the contiguous 0..m-1 range)
+    val approxChips = run(100)
+    assert(approxChips !== approxChips.indices.map(_.toLong).toArray,
+      "auto did not route to the approx chipper above the threshold")
+  }
+
   test("multi-input DAG: two tagged readers merge n-ary through checkpoint and resume") {
     val ck = tmp(); val outP = tmp() + "/out"
     val spec =
