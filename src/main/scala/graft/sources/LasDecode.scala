@@ -162,6 +162,108 @@ object LasDecode {
     epsgOf(readVlrs(bb)).flatMap(registrySrsForEpsg)
   }
 
+  // ---- extra-bytes dimensions (VLR LASF_Spec record 4) -----------------
+
+  /** One extra per-point dimension: record-relative byte offset, LAS
+    * type code (1-10 scalars; the spec's multi-element codes 11-30 are
+    * flattened to scalars with 0/1/2 name suffixes, matching the
+    * reference's Colors0/Colors1/... naming, LasReaderTest.cpp:318-323),
+    * optional scale/offset when the descriptor's options flags set them. */
+  final case class ExtraDim(name: String, typeCode: Int, offset: Int,
+                            scale: Option[Double], offsetV: Option[Double])
+
+  private val ExtraTypeSize = Array(0, 1, 1, 2, 2, 4, 4, 8, 8, 4, 8)
+
+  /** Parse the 192-byte extra-bytes descriptors (LAS 1.4 spec §
+    * "Extra Bytes VLR"): reserved u16, data_type u8, options u8,
+    * name[32], unused[4], no_data/min/max (3x8 each), scale[3x f64],
+    * offset[3x f64], description[32]. Type 0 = `options` opaque bytes
+    * (skipped but its width advances the cursor). `baseLen` is the
+    * format's standard record length — extras follow it. */
+  def extraDimsOf(vlrs: Seq[Vlr], baseLen: Int): Seq[ExtraDim] = {
+    vlrs.find(v => v.userId == "LASF_Spec" && v.recordId == 4).map { v =>
+      val bb = ByteBuffer.wrap(v.payload).order(ByteOrder.LITTLE_ENDIAN)
+      val out = Seq.newBuilder[ExtraDim]
+      var off = baseLen
+      (0 until v.payload.length / 192).foreach { k =>
+        val base = k * 192
+        val t = bb.get(base + 2) & 0xFF
+        val options = bb.get(base + 3) & 0xFF
+        val name = cString(v.payload.slice(base + 4, base + 36))
+        if (t == 0) off += options // opaque filler bytes advance the cursor
+        else {
+          require(t <= 30, s"extra-bytes type $t unsupported")
+          val (scalar, n) =
+            if (t <= 10) (t, 1) else if (t <= 20) (t - 10, 2) else (t - 20, 3)
+          val size = ExtraTypeSize(scalar)
+          (0 until n).foreach { e =>
+            out += ExtraDim(
+              if (n == 1) name else s"$name$e",
+              scalar, off + e * size,
+              if ((options & 0x08) != 0) Some(bb.getDouble(base + 112 + 8 * e)) else None,
+              if ((options & 0x10) != 0) Some(bb.getDouble(base + 136 + 8 * e)) else None)
+          }
+          off += n * size
+        }
+      }
+      out.result()
+    }.getOrElse(Nil)
+  }
+
+  private def readExtra(bb: ByteBuffer, recBase: Int, d: ExtraDim): Any = {
+    val p = recBase + d.offset
+    val raw: Double = d.typeCode match {
+      case 1 => (bb.get(p) & 0xFF).toDouble
+      case 2 => bb.get(p).toDouble
+      case 3 => (bb.getShort(p) & 0xFFFF).toDouble
+      case 4 => bb.getShort(p).toDouble
+      case 5 => (bb.getInt(p) & 0xFFFFFFFFL).toDouble
+      case 6 => bb.getInt(p).toDouble
+      case 7 | 8 => bb.getLong(p).toDouble // u64 > 2^63 out of scope
+      case 9 => bb.getFloat(p).toDouble
+      case 10 => bb.getDouble(p)
+    }
+    d.scale.map(s => raw * s + d.offsetV.getOrElse(0.0))
+      .orElse(d.offsetV.map(raw + _))
+      .getOrElse(raw)
+  }
+
+  /** Driver decode INCLUDING extra-bytes dimensions as appended DOUBLE
+    * columns (the reference registers them as typed proprietary dims,
+    * LasReader.cpp extra-dims path; doubles carry every fixture value
+    * exactly and keep the schema Spark-simple). */
+  def asDataFrameWithExtras(spark: SparkSession, path: String,
+                            docId: String = "las"): DataFrame = {
+    val bytes = Files.readAllBytes(Paths.get(path))
+    val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    val h = readHeader(bb)
+    requireSingleBuffer(h)
+    val base = baseRecordLen(h.pointFormat)
+    val extras = extraDimsOf(readVlrs(bb), base)
+    val (pb, off0) = pointBytes(bytes, bb, h)
+    // Spark resolves column names case-insensitively: an extra dim named
+    // like a standard column (the fixture's "Intensity") gets an extra_
+    // prefix instead of shadowing it
+    val baseNames = schema.fieldNames.map(_.toLowerCase).toSet
+    def colName(d: ExtraDim): String =
+      if (baseNames.contains(d.name.toLowerCase)) s"extra_${d.name}" else d.name
+    val fullSchema = StructType(schema.fields ++
+      extras.map(d => StructField(colName(d), DoubleType, nullable = false)))
+    val rows = (0L until h.pointCount).map { i =>
+      val recBase = (off0 + i * h.recordLen).toInt
+      val std = decodeRecord(pb, recBase, h, docId, i.toInt)
+      Row.fromSeq(std.toSeq ++ extras.map(readExtra(pb, recBase, _)))
+    }
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 4), fullSchema)
+  }
+
+  /** Standard (pre-extra-bytes) record length by point format. */
+  def baseRecordLen(fmt: Int): Int = fmt match {
+    case 0 => 20; case 1 => 28; case 2 => 26; case 3 => 34
+    case 4 => 57; case 5 => 63
+    case 6 => 30; case 7 => 36; case 8 => 38; case 9 => 59; case 10 => 67
+  }
+
   /** Capability predicates by point format (LasHeader.hpp:310-333). */
   def hasTime(fmt: Int): Boolean = fmt == 1 || (fmt >= 3 && fmt <= 5) || fmt >= 6
   def hasColor(fmt: Int): Boolean = fmt == 2 || fmt == 3 || fmt == 5 || fmt == 7 || fmt == 8 || fmt == 10

@@ -318,6 +318,33 @@ class LasFormatSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("no SRS could be inferred"))
   }
 
+  test("extra-bytes dims decode with the reference's golden relations (extrabytes.las)") {
+    // the reference's own assertions (LasReaderTest.cpp:309-370
+    // extraBytes): the fixture's extra dims mirror its standard dims —
+    // Colors == RGB, Flags == return/number-of-returns, extra Intensity
+    // == intensity, extra Time == gps_time truncated (NEAR 1.0)
+    import java.nio.{ByteBuffer, ByteOrder}
+    val p = s"$RefData/las/extrabytes.las"
+    val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p))
+    val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    val dims = LasDecode.extraDimsOf(LasDecode.readVlrs(bb),
+      LasDecode.baseRecordLen(3))
+    assert(dims.map(_.name) ===
+      Seq("Colors0", "Colors1", "Colors2", "Flags0", "Flags1", "Intensity", "Time"))
+    assert(dims.map(_.typeCode) === Seq(3, 3, 3, 2, 2, 5, 7))
+    val df = LasDecode.asDataFrameWithExtras(spark, p)
+    assert(df.count() === 1065)
+    import org.apache.spark.sql.functions._
+    def mismatches(c: org.apache.spark.sql.Column): Long = df.filter(c).count()
+    assert(mismatches(col("Colors0") =!= col("red")) === 0)
+    assert(mismatches(col("Colors1") =!= col("green")) === 0)
+    assert(mismatches(col("Colors2") =!= col("blue")) === 0)
+    assert(mismatches(col("Flags0") =!= col("return_number").cast("double")) === 0)
+    assert(mismatches(col("Flags1") =!= col("number_of_returns").cast("double")) === 0)
+    assert(mismatches(col("extra_Intensity") =!= col("intensity").cast("double")) === 0)
+    assert(mismatches(abs(col("Time") - col("gps_time")) > 1.0) === 0)
+  }
+
   test("quantization overflow throws instead of wrapping") {
     intercept[IllegalArgumentException] {
       LasWriter.write(java.nio.file.Files.createTempFile("graftovf", ".las").toString,
