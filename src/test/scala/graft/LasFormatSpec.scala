@@ -345,6 +345,37 @@ class LasFormatSpec extends AnyFunSuite {
     assert(mismatches(abs(col("Time") - col("gps_time")) > 1.0) === 0)
   }
 
+  test("version x format permutation sweep matches the reference's test_a_format goldens") {
+    // LasReaderTest.cpp:218-227: every (version, format) permutation
+    // holds ONE point at (470692.44, 4602888.90, 16.0); formats with
+    // time carry 1205902800.0, formats with color carry (255, 12, 234)
+    val cases = Seq(
+      ("1.0_0.las", 0, 1, 0), ("1.0_1.las", 1, 1, 0),
+      ("1.1_0.las", 0, 1, 1), ("1.1_1.las", 1, 1, 1),
+      ("1.2_0.las", 0, 1, 2), ("1.2_1.las", 1, 1, 2),
+      ("1.2_2.las", 2, 1, 2), ("1.2_3.las", 3, 1, 2))
+    cases.foreach { case (file, fmt, vMaj, vMin) =>
+      val (h, rows) = LasDecode.readPoints(s"$RefData/las/permutations/$file")
+      assert(h.versionMajor === vMaj && h.versionMinor === vMin, file)
+      assert(h.pointFormat === fmt, file)
+      assert(rows.size === 1, file)
+      val r = rows.head
+      assert(math.abs(r.getDouble(2) - 470692.44) < 1e-6, s"$file x")
+      assert(math.abs(r.getDouble(3) - 4602888.90) < 1e-6, s"$file y")
+      assert(math.abs(r.getDouble(4) - 16.0) < 1e-6, s"$file z")
+      val wantTime = if (LasDecode.hasTime(fmt)) 1205902800.0 else 0.0
+      assert(r.getDouble(12) === wantTime, s"$file time")
+      val (wr, wg, wb) = if (LasDecode.hasColor(fmt)) (255, 12, 234) else (0, 0, 0)
+      assert(r.getInt(13) === wr && r.getInt(14) === wg && r.getInt(15) === wb,
+        s"$file rgb")
+    }
+    // the no-points permutation HEADER claims 1065 points over zero data
+    // bytes — decode clamps to the records physically present (the
+    // reference's read-until-EOF behavior) instead of exploding
+    val (he, re) = LasDecode.readPoints(s"$RefData/las/permutations/1.2-no-points.las")
+    assert(he.pointCount === 1065 && re.isEmpty)
+  }
+
   test("quantization overflow throws instead of wrapping") {
     intercept[IllegalArgumentException] {
       LasWriter.write(java.nio.file.Files.createTempFile("graftovf", ".las").toString,
