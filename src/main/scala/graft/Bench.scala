@@ -69,6 +69,23 @@ object Bench {
           val n = graft.sources.LasDecode.asDistributedDataFrame(spark, s"$dir/*.laz").count()
           require(n == expected, s"laz ingest decoded $n of $expected points")
         }
+      }),
+      // ONE big multi-chunk .laz decoded chunk-parallel (the single-
+      // huge-archive shape: the chunk table turns one file into many
+      // independent decode tasks)
+      "x_laz_chunk_parallel_1file" -> (() => {
+        val dir = java.nio.file.Files.createTempDirectory("graftlazone").toString
+        val src = graft.model.Model.explodePoints(
+          graft.sources.DocSynth.cachedDocs(spark, sfDir))
+        graft.sources.LasWriter.writeLaz(s"$dir/all.laz", src, pointFormat = 1,
+          graft.sources.LasWriter.XForms(0.001, 0.001, 0.001, 0, 0, 0),
+          chunkSize = 50000)
+        val expected = src.count()
+        () => {
+          val df = graft.sources.LasDecode.asChunkSplitDataFrame(spark, s"$dir/all.laz")
+          val n = df.count()
+          require(n == expected, s"chunk-parallel decoded $n of $expected points")
+        }
       }))
     val extraResults = extras.map { case (name, setup) =>
       try { timed(name)(setup()) }
