@@ -142,7 +142,10 @@ object EntryPipelines {
     // list-partitioned parquet write, probe run cold against the stored
     // table (partition pruning — the 100 TB vector-store path)
     "q_ann_ivf_stored" -> ((s, dir) => {
-      val tmp = java.nio.file.Files.createTempDirectory("graftivfstore").toString
+      // one stable per-JVM store dir, reused via overwrite mode — repeated
+      // oracle/bench runs do not accrete abandoned parquet stores
+      val tmp = java.nio.file.Paths.get(
+        sys.props("java.io.tmpdir"), "graft-ivf-store").toString
       AnnOps.ivfStoredTopK(queryVec, k = 20, nLists = 16, nProbe = 4,
         kmeansIters = 1, storageDir = tmp)(embs(s, dir))
         .select(col("vec_id"), col("label"), col("list"),

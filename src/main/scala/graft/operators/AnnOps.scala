@@ -47,11 +47,15 @@ object AnnOps {
     }
     override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
       val qv = ctx.addReferenceObj("q", q, "double[]")
+      // Locals go through freshName: two dot expressions fused into one
+      // generated function would otherwise redefine `n`/`s`/`i` and kill
+      // whole-stage codegen (Janino "Redefinition of local variable").
+      val n = ctx.freshName("n"); val s = ctx.freshName("s"); val i = ctx.freshName("i")
       nullSafeCodeGen(ctx, ev, c =>
-        s"""int n = Math.min($c.numElements(), $qv.length);
-           |double s = 0.0;
-           |for (int i = 0; i < n; i++) s += ((double) $c.getFloat(i)) * $qv[i];
-           |${ev.value} = s;""".stripMargin)
+        s"""int $n = Math.min($c.numElements(), $qv.length);
+           |double $s = 0.0;
+           |for (int $i = 0; $i < $n; $i++) $s += ((double) $c.getFloat($i)) * $qv[$i];
+           |${ev.value} = $s;""".stripMargin)
     }
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
@@ -72,13 +76,15 @@ object AnnOps {
       while (i < n) { val x = arr.getFloat(i).toDouble; s += x * x; i += 1 }
       s
     }
-    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val s = ctx.freshName("s"); val i = ctx.freshName("i"); val x = ctx.freshName("x")
       nullSafeCodeGen(ctx, ev, c =>
-        s"""double s = 0.0;
-           |for (int i = 0; i < $c.numElements(); i++) {
-           |  double x = (double) $c.getFloat(i); s += x * x;
+        s"""double $s = 0.0;
+           |for (int $i = 0; $i < $c.numElements(); $i++) {
+           |  double $x = (double) $c.getFloat($i); $s += $x * $x;
            |}
-           |${ev.value} = s;""".stripMargin)
+           |${ev.value} = $s;""".stripMargin)
+    }
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 
@@ -96,12 +102,14 @@ object AnnOps {
       while (i < n) { s += x.getFloat(i).toDouble * y.getFloat(i).toDouble; i += 1 }
       s
     }
-    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val n = ctx.freshName("n"); val s = ctx.freshName("s"); val i = ctx.freshName("i")
       nullSafeCodeGen(ctx, ev, (a, b) =>
-        s"""int n = Math.min($a.numElements(), $b.numElements());
-           |double s = 0.0;
-           |for (int i = 0; i < n; i++) s += ((double) $a.getFloat(i)) * ((double) $b.getFloat(i));
-           |${ev.value} = s;""".stripMargin)
+        s"""int $n = Math.min($a.numElements(), $b.numElements());
+           |double $s = 0.0;
+           |for (int $i = 0; $i < $n; $i++) $s += ((double) $a.getFloat($i)) * ((double) $b.getFloat($i));
+           |${ev.value} = $s;""".stripMargin)
+    }
     override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
       copy(left = l, right = r)
   }

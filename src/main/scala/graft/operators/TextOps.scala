@@ -261,9 +261,11 @@ object TextOps {
       override def prettyName: String = "minhash_sig"
       override protected def nullSafeEval(v: Any): Any =
         evalSig(v.asInstanceOf[ArrayData], p, n)
+      // Janino can't resolve a nested Scala object through the outer
+      // object's forwarders — call the module instance by its JVM name.
       override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
         nullSafeCodeGen(ctx, ev, c =>
-          s"${ev.value} = graft.operators.TextOps.MinHashBands.evalSig($c, $p, $n);")
+          s"${ev.value} = graft.operators.TextOps$$MinHashBands$$.MODULE$$.evalSig($c, $p, $n);")
       override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
     }
     case class BandsExpr(child: Expression, p: Int, n: Int, b: Int) extends UnaryExpression {
@@ -274,7 +276,7 @@ object TextOps {
         evalBands(v.asInstanceOf[ArrayData], p, n, b)
       override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
         nullSafeCodeGen(ctx, ev, c =>
-          s"${ev.value} = graft.operators.TextOps.MinHashBands.evalBands($c, $p, $n, $b);")
+          s"${ev.value} = graft.operators.TextOps$$MinHashBands$$.MODULE$$.evalBands($c, $p, $n, $b);")
       override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
     }
 

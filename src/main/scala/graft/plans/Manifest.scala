@@ -110,7 +110,10 @@ object Manifest {
   // '-' inside the class too: exponents like 1.0E-7 ("-?" only covers
   // the leading sign); fields are label-delimited so this is unambiguous.
   // Non-finite values arrive as quoted strings (standard-JSON emit).
-  private val D = """(-?[\d.eE+-]+|"-?Infinity"|"NaN")"""
+  // Bare Infinity/NaN alternations kept for READ compatibility with
+  // manifests written before the standard-JSON (quoted) emit; we only
+  // ever emit the quoted form now.
+  private val D = """(-?[\d.eE+-]+|"-?Infinity"|"NaN"|-?Infinity|NaN)"""
   private val InfoRe =
     (""""info":\{"count":(\d+),"minx":""" + D + ""","maxx":""" + D +
       ""","miny":""" + D + ""","maxy":""" + D +

@@ -75,7 +75,14 @@ object Pipeline {
     * reader's VLRs, consumed by filters.reprojection when `in_srs` is
     * absent or "auto" (the reference's ReprojectionFilter takes the
     * stage input's spatial reference the same way). */
-  final class RunCtx { var inferredSrs: Option[String] = None }
+  final class RunCtx {
+    var inferredSrs: Option[String] = None
+    /** Row count the reader already knows for free (LAS header point
+      * count, faux count param) — lets downstream auto-routing decisions
+      * (filters.chipper) avoid a full count() scan job. Upper bound once
+      * filters run, which is the conservative direction for routing. */
+    var inferredCount: Option[Long] = None
+  }
 
   /** Build one stage's transformation. Readers ignore their input. */
   def build(spark: SparkSession, st: StageSpec,
@@ -96,6 +103,7 @@ object Pipeline {
         val b = st.dbls("bounds").map(a => Faux.Box3(a(0), a(1), a(2), a(3), a(4), a(5)))
           .getOrElse(Faux.Box3(0, 0, 0, 1, 1, 1))
         val n = st.int("count").getOrElse(1000).toLong
+        ctx.inferredCount = Some(n)
         st.str("mode").getOrElse("ramp") match {
           case "ramp" => Faux.ramp(spark, b, n)
           case "constant" => Faux.constant(spark, b, n)
@@ -114,8 +122,10 @@ object Pipeline {
         val path = st.str("path").get
         // infer the file's SRS from its VLR GeoTIFF keys / WKT record for
         // downstream filters.reprojection auto mode (glob paths skipped)
-        if (!path.exists("*?[".contains(_)))
+        if (!path.exists("*?[".contains(_))) {
           ctx.inferredSrs = LasDecode.srsOf(path)
+          ctx.inferredCount = Some(LasDecode.headerOf(path).pointCount)
+        }
         st.int("splits") match {
           case Some(_) if LasDecode.isLaszip(path) =>
             // compressed records aren't offset-splittable; LAZ chunks
@@ -183,7 +193,15 @@ object Pipeline {
           case "auto" =>
             val threshold = st.int("auto_threshold").getOrElse(10000000).toLong
             val df = in.get
-            if (df.count() > threshold) TileOps.chipperApprox(capacity)(df)
+            // route on a ZERO-JOB estimate when one exists — the reader's
+            // own declared count (LAS header / faux count), else
+            // Catalyst's plan-stats row count; only when neither knows
+            // does routing cost a count() scan. At 100x scale the extra
+            // full-input scan just to pick a method is the bug.
+            val est: Long = ctx.inferredCount
+              .orElse(df.queryExecution.optimizedPlan.stats.rowCount.map(_.toLong))
+              .getOrElse(df.count())
+            if (est > threshold) TileOps.chipperApprox(capacity)(df)
             else TileOps.chipper(capacity)(df)
           case m => throw new IllegalArgumentException(
             s"filters.chipper method must be exact|approx|auto, got $m")

@@ -147,6 +147,14 @@ object LasDecode {
     case _ => None
   }
 
+  /** Header of a LAS file from its first bytes only (zero Spark jobs) —
+    * the free row-count/extent source for pipeline routing decisions. */
+  def headerOf(path: String): LasHeader = {
+    val in = Files.newInputStream(Paths.get(path))
+    val head = try in.readNBytes(375) finally in.close()
+    readHeader(ByteBuffer.wrap(head).order(ByteOrder.LITTLE_ENDIAN))
+  }
+
   /** Inferred registry SRS of a LAS file, from its VLRs ("in_srs"
     * auto-detection — ReprojectionFilter.cpp:131-180 discipline). Reads
     * only the header + VLR block, never the point data. */
@@ -383,7 +391,18 @@ object LasDecode {
     * go through [[asSplitDataFrame]] instead (fail-fast guard here). */
   def asDistributedDataFrame(spark: SparkSession, pathGlob: String): DataFrame = {
     import org.apache.spark.sql.Row
-    val bin = spark.read.format("binaryFile").load(pathGlob)
+    // A glob in the PATH makes FileStreamSink.hasMetadata probe the glob
+    // as a literal directory and log a FileNotFoundException stack on
+    // every load; a pathGlobFilter over the parent directory lists the
+    // same files with clean logs.
+    val slash = pathGlob.lastIndexOf('/')
+    val (dir, leaf) =
+      if (slash >= 0) (pathGlob.substring(0, slash), pathGlob.substring(slash + 1))
+      else (".", pathGlob)
+    val reader = spark.read.format("binaryFile")
+    val bin = (if (leaf.exists(c => c == '*' || c == '?' || c == '['))
+        reader.option("pathGlobFilter", leaf).load(dir)
+      else reader.load(pathGlob))
       .select("path", "content")
     val rowEnc = org.apache.spark.sql.Encoders.row(schema)
     bin.flatMap { r =>
@@ -444,9 +463,15 @@ object LasDecode {
     }
     val bb = ByteBuffer.wrap(headBlock).order(ByteOrder.LITTLE_ENDIAN)
     val h = readHeader(bb)
+    // span_idx is int32 in the frame schema; past 2^31 records the
+    // absolute-index identity (dedup/split-equality) would silently wrap
+    require(h.pointCount <= Int.MaxValue,
+      s"$path holds ${h.pointCount} records; span_idx is int32 — shard the file (2^31-1 records max per file)")
     val vlr = lazVlrOf(bb).getOrElse(
       throw new IllegalArgumentException(s"$path is not a LASzip stream"))
     val fileLen = Files.size(Paths.get(absPath))
+    require(vlr.compressor != 2 || vlr.chunkSize < 0xFFFFFFFFL,
+      "variable-size laszip chunking (chunk_size sentinel 0xFFFFFFFF) not implemented")
     val chunk =
       if (vlr.compressor == 2 && vlr.chunkSize > 0) vlr.chunkSize.toInt
       else h.pointCount.toInt
@@ -512,6 +537,8 @@ object LasDecode {
     }
     val h = readHeader(ByteBuffer.wrap(headBytes).order(ByteOrder.LITTLE_ENDIAN))
     require(h.pointFormat <= 10, s"unsupported point format ${h.pointFormat}")
+    require(h.pointCount <= Int.MaxValue,
+      s"$path holds ${h.pointCount} records; span_idx is int32 — shard the file (2^31-1 records max per file)")
     // laszip bits in the raw format byte: compressed records are not
     // fixed-length, so offset splitting cannot apply — decode via the
     // whole-file paths (which decompress), splitting at chunk boundaries

@@ -85,6 +85,10 @@ object LazDecoder {
                  recordLen: Int, vlr: LazVlr): Array[Byte] = {
     require(vlr.compressor == 1 || vlr.compressor == 2,
       s"unsupported laszip compressor ${vlr.compressor} (layered/1.4 streams not implemented)")
+    // chunk_size 0xFFFFFFFF is laszip's variable-size-chunking sentinel —
+    // without this guard .toInt becomes -1 and the decode loop runs away
+    require(vlr.compressor != 2 || vlr.chunkSize < 0xFFFFFFFFL,
+      "variable-size laszip chunking (chunk_size sentinel 0xFFFFFFFF) not implemented")
     require(vlr.items.map(_._1) == vlr.items.map(_._1).intersect(
       Seq(ItemPoint10, ItemGpsTime11, ItemRgb12)) &&
       vlr.items.nonEmpty && vlr.items.head._1 == ItemPoint10,

@@ -121,9 +121,17 @@ object StreamOps {
   }
 
   /** Streaming document ingest: drain a doc-table stream, explode point
-    * spans, assign tiles, and append tile-partitioned parquet per
+    * spans, assign tiles, and land tile-partitioned parquet per
     * micro-batch via foreachBatch (each batch also lands a lineage
-    * manifest — the streaming twin of Pipeline's checkpoints). */
+    * manifest — the streaming twin of Pipeline's checkpoints).
+    *
+    * End-to-end exactly-once: the file source checkpoint never re-lists a
+    * committed file, and the sink side is IDEMPOTENT — each micro-batch
+    * writes its own `batch_id=<id>` partition directory in overwrite
+    * mode, so a batch replayed after a crash-between-write-and-commit
+    * overwrites its own output instead of appending duplicates.
+    * `spark.read.parquet(outPath)` discovers `batch_id` as a normal
+    * partition column. */
   def ingestDocs(spark: SparkSession, docPath: String, outPath: String,
                  ckRoot: String, tileLength: Double): Unit = {
     val docSchema = graft.model.Model.docSchema
@@ -132,7 +140,8 @@ object StreamOps {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val pts = graft.model.Model.explodePoints(batch)
         val tiled = graft.operators.TileOps.splitter(tileLength, 0, 0)(pts)
-        tiled.write.mode("append").partitionBy("tile_x").parquet(outPath)
+        tiled.write.mode("overwrite").partitionBy("tile_x")
+          .parquet(s"$outPath/batch_id=$batchId")
         graft.plans.Manifest.checkpoint(ckRoot, f"batch_$batchId%05d",
           s"ingest-$batchId", Nil, tiled)
         ()
@@ -148,8 +157,11 @@ object StreamOps {
     * decode each in the executors — LASzip decompression included, via
     * the same fixture-pinned decode every batch path uses — and append
     * the point frame to parquet with a per-batch lineage manifest.
-    * Exactly-once per FILE comes free from the file-source checkpoint
-    * (a file is never re-listed once committed). */
+    * Exactly-once end-to-end: the file-source checkpoint never re-lists
+    * a committed file, and the sink writes each micro-batch to its own
+    * `batch_id=<id>` partition directory in overwrite mode — a batch
+    * replayed after a crash between the write and the stream commit
+    * overwrites its own directory rather than appending duplicates. */
   def ingestLasFiles(spark: SparkSession, landingDir: String, outPath: String,
                      ckRoot: String, glob: String = "*.la[sz]"): Unit = {
     // the binaryFile source's fixed schema, required explicitly for streams
@@ -173,7 +185,7 @@ object StreamOps {
           val h = graft.sources.LasDecode.readHeader(bb)
           graft.sources.LasDecode.decodeAll(bytes, bb, h, docId)
         }(rowEnc)
-        pts.write.mode("append").parquet(outPath)
+        pts.write.mode("overwrite").parquet(s"$outPath/batch_id=$batchId")
         graft.plans.Manifest.checkpoint(ckRoot, f"lasbatch_$batchId%05d",
           s"las-ingest-$batchId", Nil, pts)
         ()

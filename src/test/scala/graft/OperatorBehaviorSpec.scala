@@ -87,6 +87,28 @@ class OperatorBehaviorSpec extends AnyFunSuite {
     assert(k4.nonEmpty)
   }
 
+  test("delta nearest-1 is bit-identical across shuffle partitionings (4 vs 32)") {
+    // same determinism discipline as SOR: nearest-neighbor selection is
+    // a min_by over (d2, id) struct ordering — no partial-aggregation
+    // float path can flip the winner between partitionings
+    val src = Faux.uniform(spark, Faux.Box3(0, 0, 0, 400, 400, 20), 600, seed = 5)
+    val cand = Faux.uniform(spark, Faux.Box3(0, 0, 0, 400, 400, 20), 600, seed = 6, "cand")
+    val conf = spark.conf
+    val orig = conf.get("spark.sql.shuffle.partitions")
+    def deltas(): Set[(Int, Double, Double, Double)] =
+      try {
+        JoinOps.delta(src, cand, level = 4)
+          .select("span_idx", "dx", "dy", "dz").collect()
+          .map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2), r.getDouble(3))).toSet
+      } finally conf.set("spark.sql.shuffle.partitions", orig)
+    conf.set("spark.sql.shuffle.partitions", "4")
+    val d4 = deltas()
+    conf.set("spark.sql.shuffle.partitions", "32")
+    val d32 = deltas()
+    assert(d4 === d32, s"delta differs: ${(d4 diff d32).take(3)} vs ${(d32 diff d4).take(3)}")
+    assert(d4.size === 600)
+  }
+
   test("exact kNN escalation finds neighbors beyond the starting ring (sparse regime)") {
     // points spread ~300 units apart: at level 4 (cell side 64) every
     // point's nearest neighbor is OUTSIDE its 3x3 ring, so the result is

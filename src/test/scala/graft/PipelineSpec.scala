@@ -108,6 +108,35 @@ class PipelineSpec extends AnyFunSuite {
       "auto did not route to the approx chipper above the threshold")
   }
 
+  test("chipper auto routing adds no scan job when the reader declares its count") {
+    // auto must route on the reader's free count (faux count / LAS header
+    // point count), not a full count() scan — at 100x scale that extra
+    // scan of the whole input just to pick a method is the bug
+    def jobsFor(method: String): Int = {
+      var jobs = 0
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+          jobs += 1
+      }
+      spark.sparkContext.addSparkListener(listener)
+      try {
+        Pipeline.run(spark,
+          s"""{ "pipeline": [
+             |  {"type": "readers.faux", "mode": "uniform",
+             |   "bounds": [0, 0, 0, 500, 500, 10], "count": 4000, "seed": 3},
+             |  {"type": "filters.chipper", "method": "$method", "capacity": 500,
+             |   "auto_threshold": 100}
+             |]}""".stripMargin).df.collect()
+        Thread.sleep(300) // drain listener-bus events
+        jobs
+      } finally spark.sparkContext.removeSparkListener(listener)
+    }
+    val direct = jobsFor("approx")
+    val routed = jobsFor("auto") // threshold 100 < 4000 -> routes to approx
+    assert(routed === direct,
+      s"auto ran $routed jobs vs $direct for direct approx — routing must not add a scan")
+  }
+
   test("multi-input DAG: two tagged readers merge n-ary through checkpoint and resume") {
     val ck = tmp(); val outP = tmp() + "/out"
     val spec =
