@@ -473,12 +473,12 @@ object LasDecode {
     require(vlr.compressor != 2 || vlr.chunkSize < 0xFFFFFFFFL,
       "variable-size laszip chunking (chunk_size sentinel 0xFFFFFFFF) not implemented")
     val chunk =
-      if (vlr.compressor == 2 && vlr.chunkSize > 0) vlr.chunkSize.toInt
+      if (vlr.compressor >= 2 && vlr.chunkSize > 0) vlr.chunkSize.toInt
       else h.pointCount.toInt
     val nChunks = math.max(1, ((h.pointCount + chunk - 1) / chunk).toInt)
-    val tableOff = if (vlr.compressor == 2) bb.getLong(h.dataOffset.toInt) else fileLen
+    val tableOff = if (vlr.compressor >= 2) bb.getLong(h.dataOffset.toInt) else fileLen
     val starts: Seq[Long] =
-      if (vlr.compressor == 2 && nChunks > 1) {
+      if (vlr.compressor >= 2 && nChunks > 1) {
         // read ONLY the table region — never the chunk data
         require(tableOff > 0 && tableOff + 8 <= fileLen,
           s"laszip chunk table offset $tableOff outside $path")
@@ -489,7 +489,7 @@ object LasDecode {
         }
         laz.LazDecoder.chunkSizesFromTable(table, nChunks - 1)
           .scanLeft(h.dataOffset + 8)(_ + _)
-      } else if (vlr.compressor == 2) Seq(h.dataOffset + 8)
+      } else if (vlr.compressor >= 2) Seq(h.dataOffset + 8)
       else Seq(h.dataOffset)
     val chunksEnd = if (tableOff > 0 && tableOff <= fileLen) tableOff else fileLen
     val descs = starts.zipWithIndex.map { case (s, i) =>

@@ -201,17 +201,18 @@ object LasWriter {
     LasDecode.readHeader(ByteBuffer.wrap(hdr).order(ByteOrder.LITTLE_ENDIAN))
   }
 
-  /** Write `df` as a COMPRESSED LAS (.laz): LAS 1.2 header with the
-    * laszip VLR (record 22204, compressor 2 / chunked, item versions 2)
-    * and the point block produced by the clean-room
-    * [[graft.sources.laz.LazEncoder]]. Formats 0-3. A small `chunkSize`
-    * yields a multi-chunk stream + chunk table (the round-trip spec uses
-    * this to exercise multi-chunk decode, which no reference fixture
-    * covers). Returns the finalized header. */
+  /** Write `df` as a COMPRESSED LAS (.laz): LAS header with the laszip
+    * VLR (record 22204) and the point block produced by the clean-room
+    * [[graft.sources.laz.LazEncoder]] — compressor 2 / item versions 2
+    * for formats 0-3 (LAS 1.2 container), LAYERED compressor 3 / item
+    * versions 3 for formats 6-8 (LAS 1.4 container,
+    * [[graft.sources.laz.LazLayered]]). A small `chunkSize` yields a
+    * multi-chunk stream + chunk table (the round-trip spec uses this to
+    * exercise multi-chunk decode, which no reference fixture covers).
+    * Returns the finalized header. */
   def writeLaz(path: String, df: DataFrame, pointFormat: Int, xf: XForms,
                chunkSize: Int = 50000): LasDecode.LasHeader = {
     val rl = recordLen(pointFormat)
-    require(pointFormat <= 3, s"laz write supports formats 0-3, got $pointFormat")
     val ix = ColIx.of(df.columns)
     val body = new ByteArrayOutputStream()
     val s = new Summary
@@ -253,6 +254,51 @@ object LasWriter {
     out.toByteArray
   }
 
+  /** Convert an UNCOMPRESSED LAS byte image into the equivalent .laz,
+    * preserving the original header fields and every existing VLR
+    * (extra-bytes descriptors, SRS records, ...) verbatim — the laszip
+    * VLR is appended, the data offset / VLR count / format-byte
+    * compression bit patched, and the point block re-emitted through
+    * the clean-room encoder. Extra bytes past the standard record
+    * layout ride a BYTE (formats 0-3) / BYTE14 (6-8) item. The inverse
+    * of [[LasDecode]]'s transparent decompression — together they are
+    * las2las's compress/decompress round. */
+  def lasToLaz(bytes: Array[Byte], chunkSize: Int = 50000): Array[Byte] = {
+    val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    val h = LasDecode.readHeader(bb)
+    require((bytes(104) & 0xC0) == 0, "input is already laszip-compressed")
+    val extraBytes = h.recordLen - LasDecode.baseRecordLen(h.pointFormat)
+    require(extraBytes >= 0, s"record length ${h.recordLen} below the format's standard layout")
+    val headerSize = bb.getShort(94) & 0xffff
+    val nVlrs = bb.getInt(100)
+    require(h.dataOffset + h.pointCount * h.recordLen <= Int.MaxValue,
+      "single-buffer laz conversion caps at 2 GiB; shard first")
+    val present = math.min(h.pointCount,
+      math.max(0L, (bytes.length - h.dataOffset) / h.recordLen)).toInt
+    val raw = java.util.Arrays.copyOfRange(bytes,
+      h.dataOffset.toInt, h.dataOffset.toInt + present * h.recordLen)
+    val vlrBlock = java.util.Arrays.copyOfRange(bytes, headerSize, h.dataOffset.toInt)
+    val payload = graft.sources.laz.LazEncoder.vlrPayload(h.pointFormat, chunkSize, extraBytes)
+    val vlrHead = ByteBuffer.allocate(54).order(ByteOrder.LITTLE_ENDIAN)
+    vlrHead.putShort(0)
+    vlrHead.put("laszip encoded".padTo(16, ' ').getBytes("US-ASCII"), 0, 16)
+    vlrHead.putShort(22204.toShort)
+    vlrHead.putShort(payload.length.toShort)
+    vlrHead.put("graft laszip".padTo(32, ' ').getBytes("US-ASCII"), 0, 32)
+    val newDataOffset = headerSize + vlrBlock.length + 54 + payload.length
+    val hdr = java.util.Arrays.copyOfRange(bytes, 0, headerSize)
+    val hb = ByteBuffer.wrap(hdr).order(ByteOrder.LITTLE_ENDIAN)
+    hb.putInt(96, newDataOffset)
+    hb.putInt(100, nVlrs + 1)
+    hb.put(104, (hdr(104) | 0x80).toByte)
+    val block = graft.sources.laz.LazEncoder.compress(
+      raw, present, h.recordLen, h.pointFormat, chunkSize, newDataOffset.toLong, extraBytes)
+    val out = new ByteArrayOutputStream(newDataOffset + block.length)
+    out.write(hdr); out.write(vlrBlock); out.write(vlrHead.array()); out.write(payload)
+    out.write(block)
+    out.toByteArray
+  }
+
   /** Bulk-export production path: one LAS shard per distinct value of
     * `shardCol` (tile id, split id, …), encoded IN THE EXECUTORS.
     *
@@ -279,8 +325,8 @@ object LasWriter {
     val ix = ColIx.of(cols)
     val shardIdx = cols.indexOf(shardCol)
     require(shardIdx >= 0, s"shard column $shardCol not in ${cols.mkString(",")}")
-    require(!compress || pointFormat <= 3,
-      s"compressed shards support formats 0-3, got $pointFormat")
+    require(!compress || pointFormat <= 3 || pointFormat >= 6,
+      s"compressed shards support formats 0-3 and 6-8, got $pointFormat")
     val tasks = if (numTasks > 0) numTasks
                 else df.sparkSession.sparkContext.defaultParallelism
     val sortKeys = (Seq(shardCol) ++ Seq("doc_id", "span_idx").filter(cols.contains))

@@ -23,9 +23,16 @@ object LazDecoder {
   final case class LazVlr(compressor: Int, chunkSize: Long,
                           items: Seq[(Int, Int, Int)]) // (type, size, version)
 
+  val ItemByte = 0
   val ItemPoint10 = 6
   val ItemGpsTime11 = 7
   val ItemRgb12 = 8
+  val ItemWavepacket13 = 9
+  val ItemPoint14 = 10
+  val ItemRgb14 = 11
+  val ItemRgbNir14 = 12
+  val ItemWavepacket14 = 13
+  val ItemByte14 = 14
 
   def parseVlr(payload: Array[Byte]): LazVlr = {
     val bb = ByteBuffer.wrap(payload).order(ByteOrder.LITTLE_ENDIAN)
@@ -81,25 +88,39 @@ object LazDecoder {
   /** Decompress `pointCount` records of `recordLen` bytes each from
     * `data` starting at `dataOffset`, per the laszip VLR `vlr`. Returns
     * the raw little-endian record bytes (pointCount * recordLen). */
-  def decompress(data: Array[Byte], dataOffset: Int, pointCount: Int,
-                 recordLen: Int, vlr: LazVlr): Array[Byte] = {
-    require(vlr.compressor == 1 || vlr.compressor == 2,
-      s"unsupported laszip compressor ${vlr.compressor} (layered/1.4 streams not implemented)")
+  /** Check `vlr` names a decodable stream, failing loudly otherwise:
+    * compressor 1/2 with POINT10 [GPSTIME11] [RGB12] [BYTE] items, or
+    * layered compressor 3 with POINT14 [RGB14|RGBNIR14] [BYTE14]. */
+  def requireSupported(vlr: LazVlr): Unit = {
+    require(vlr.compressor >= 1 && vlr.compressor <= 3,
+      s"unsupported laszip compressor ${vlr.compressor}")
     // chunk_size 0xFFFFFFFF is laszip's variable-size-chunking sentinel —
     // without this guard .toInt becomes -1 and the decode loop runs away
-    require(vlr.compressor != 2 || vlr.chunkSize < 0xFFFFFFFFL,
+    require(vlr.compressor == 1 || vlr.chunkSize < 0xFFFFFFFFL,
       "variable-size laszip chunking (chunk_size sentinel 0xFFFFFFFF) not implemented")
-    require(vlr.items.map(_._1) == vlr.items.map(_._1).intersect(
-      Seq(ItemPoint10, ItemGpsTime11, ItemRgb12)) &&
-      vlr.items.nonEmpty && vlr.items.head._1 == ItemPoint10,
-      s"unsupported laszip item set ${vlr.items} (wave packets / extra bytes not implemented)")
+    if (vlr.compressor == 3) {
+      require(vlr.items.map(_._1) == vlr.items.map(_._1).intersect(
+        Seq(ItemPoint14, ItemRgb14, ItemRgbNir14, ItemByte14)) &&
+        vlr.items.nonEmpty && vlr.items.head._1 == ItemPoint14,
+        s"unsupported laszip 1.4 item set ${vlr.items} (wave packets not implemented)")
+    } else {
+      require(vlr.items.map(_._1) == vlr.items.map(_._1).intersect(
+        Seq(ItemPoint10, ItemGpsTime11, ItemRgb12, ItemByte)) &&
+        vlr.items.nonEmpty && vlr.items.head._1 == ItemPoint10,
+        s"unsupported laszip item set ${vlr.items} (wave packets not implemented)")
+    }
+  }
+
+  def decompress(data: Array[Byte], dataOffset: Int, pointCount: Int,
+                 recordLen: Int, vlr: LazVlr): Array[Byte] = {
+    requireSupported(vlr)
     val out = new Array[Byte](pointCount * recordLen)
     val chunk =
-      if (vlr.compressor == 2 && vlr.chunkSize > 0) vlr.chunkSize.toInt
+      if (vlr.compressor >= 2 && vlr.chunkSize > 0) vlr.chunkSize.toInt
       else pointCount // compressor 1: one unchunked stream
     val nChunks = math.max(1, (pointCount + chunk - 1) / chunk)
     val starts =
-      if (vlr.compressor == 2) chunkStarts(data, dataOffset, nChunks)
+      if (vlr.compressor >= 2) chunkStarts(data, dataOffset, nChunks)
       else Seq(dataOffset)
     var decoded = 0
     var ci = 0
@@ -123,45 +144,45 @@ object LazDecoder {
   }
 
   /** One chunk: raw first point, then arithmetic-coded rest with fresh
-    * models. Returns the stream position after the chunk. */
+    * models (compressor 1/2), or the layered LAS 1.4 layout (compressor
+    * 3, [[LazLayered]]). Returns the stream position after the chunk. */
   private def decodeChunk(data: Array[Byte], start: Int, out: Array[Byte],
                           outOff: Int, n: Int, recordLen: Int, vlr: LazVlr): Int = {
+    if (vlr.compressor == 3)
+      return LazLayered.decodeChunk(data, start, out, outOff, n, recordLen, vlr)
     // first point is stored raw (it seeds every item's prediction state)
     System.arraycopy(data, start, out, outOff, recordLen)
     val dec = new ArithmeticDecoder(data, start + recordLen)
     val v2 = vlr.compressor == 2
     // item readers in VLR order, seeded from the raw point's fields
-    var fieldOff = outOff
-    val readers: Seq[(Int, Int)] = vlr.items.map { case (t, size, _) =>
-      val o = fieldOff; fieldOff += size; (t, o - outOff)
-    }
-    val p10v2 = if (v2) new LazItems.Point10V2(dec) else null
-    val p10v1 = if (!v2) new LazItems.Point10V1(dec) else null
-    val gpsv2 = if (v2) new LazItems.GpsTime11V2(dec) else null
-    val gpsv1 = if (!v2) new LazItems.GpsTime11V1(dec) else null
-    val rgbv2 = if (v2) new LazItems.Rgb12V2(dec) else null
-    val rgbv1 = if (!v2) new LazItems.Rgb12V1(dec) else null
-    readers.foreach { case (t, rel) =>
-      t match {
-        case ItemPoint10 => if (v2) p10v2.init(out, outOff + rel) else p10v1.init(out, outOff + rel)
-        case ItemGpsTime11 => if (v2) gpsv2.init(out, outOff + rel) else gpsv1.init(out, outOff + rel)
-        case ItemRgb12 => if (v2) rgbv2.init(out, outOff + rel) else rgbv1.init(out, outOff + rel)
-        case other => throw new IllegalArgumentException(s"laszip item $other")
+    var fieldOff = 0
+    val readers: Seq[(Int, (Array[Byte], Int) => Unit, (Array[Byte], Int) => Unit)] =
+      vlr.items.map { case (t, size, _) =>
+        val rel = fieldOff; fieldOff += size
+        val (initF, readF): ((Array[Byte], Int) => Unit, (Array[Byte], Int) => Unit) = t match {
+          case ItemPoint10 =>
+            if (v2) { val r = new LazItems.Point10V2(dec); (r.init _, r.read _) }
+            else { val r = new LazItems.Point10V1(dec); (r.init _, r.read _) }
+          case ItemGpsTime11 =>
+            if (v2) { val r = new LazItems.GpsTime11V2(dec); (r.init _, r.read _) }
+            else { val r = new LazItems.GpsTime11V1(dec); (r.init _, r.read _) }
+          case ItemRgb12 =>
+            if (v2) { val r = new LazItems.Rgb12V2(dec); (r.init _, r.read _) }
+            else { val r = new LazItems.Rgb12V1(dec); (r.init _, r.read _) }
+          case ItemByte =>
+            if (v2) { val r = new LazItems.ByteV2(dec, size); (r.init _, r.read _) }
+            else { val r = new LazItems.ByteV1(dec, size); (r.init _, r.read _) }
+          case other => throw new IllegalArgumentException(s"laszip item $other")
+        }
+        (rel, initF, readF)
       }
-    }
+    readers.foreach { case (rel, initF, _) => initF(out, outOff + rel) }
     if (n > 1) {
       dec.init()
       var i = 1
       while (i < n) {
         val po = outOff + i * recordLen
-        readers.foreach { case (t, rel) =>
-          t match {
-            case ItemPoint10 => if (v2) p10v2.read(out, po + rel) else p10v1.read(out, po + rel)
-            case ItemGpsTime11 => if (v2) gpsv2.read(out, po + rel) else gpsv1.read(out, po + rel)
-            case ItemRgb12 => if (v2) rgbv2.read(out, po + rel) else rgbv1.read(out, po + rel)
-            case _ => ()
-          }
-        }
+        readers.foreach { case (rel, _, readF) => readF(out, po + rel) }
         i += 1
       }
     }

@@ -165,14 +165,20 @@ object LazItems {
     }
   }
 
+  object GpsConsts {
+    val Multi = 500
+    val MultiMinus = -10
+    val MultiUnchanged = Multi - MultiMinus + 1 // 511
+    val MultiCodeFull = Multi - MultiMinus + 2  // 512
+    val MultiTotal = Multi - MultiMinus + 6     // 516
+  }
+
   /** GPSTIME11 item, spec version 2: four rotating time frames, each
-    * with a last 32-bit diff and multiplier models. */
+    * with a last 32-bit diff and multiplier models. Value-level (the
+    * raw i64 bit pattern of the f64 time) so the POINT14 v3 layered
+    * reader can reuse the identical algorithm on its gps layer. */
   final class GpsTime11V2(dec: ArithmeticDecoder) {
-    private val Multi = 500
-    private val MultiMinus = -10
-    private val MultiUnchanged = Multi - MultiMinus + 1 // 511
-    private val MultiCodeFull = Multi - MultiMinus + 2  // 512
-    private val MultiTotal = Multi - MultiMinus + 6     // 516
+    import GpsConsts._
     private val mMulti = new SymbolModel(MultiTotal)
     private val m0Diff = new SymbolModel(6)
     private val icGps = new IntegerDecompressor(dec, 32, 9)
@@ -181,11 +187,13 @@ object LazItems {
     private val extremeCounter = new Array[Int](4)
     private var cur = 0
 
+    def initValue(v: Long): Unit = lastGps(0) = v
+
     def init(raw: Array[Byte], off: Int): Unit = {
       var v = 0L
       var i = 7
       while (i >= 0) { v = (v << 8) | (raw(off + i) & 0xFF); i -= 1 }
-      lastGps(0) = v
+      initValue(v)
     }
 
     private def readFull(): Unit = {
@@ -197,7 +205,7 @@ object LazItems {
       extremeCounter(cur) = 0
     }
 
-    def read(out: Array[Byte], off: Int): Unit = {
+    def readValue(): Long = {
       if (lastDiff(cur) == 0) {
         val multi = dec.decodeSymbol(m0Diff)
         if (multi == 1) { // difference fits in 32 bits
@@ -207,8 +215,7 @@ object LazItems {
         } else if (multi == 2) readFull()
         else if (multi > 2) { // switch to another time frame
           cur = (cur + multi - 2) & 3
-          read(out, off)
-          return
+          return readValue()
         } // multi == 0: unchanged
       } else {
         val multi = dec.decodeSymbol(mMulti)
@@ -242,11 +249,14 @@ object LazItems {
         } else if (multi == MultiCodeFull) readFull()
         else if (multi > MultiCodeFull) { // switch frames
           cur = (cur + multi - MultiCodeFull) & 3
-          read(out, off)
-          return
+          return readValue()
         } // multi == MultiUnchanged: same value again
       }
-      var v = lastGps(cur)
+      lastGps(cur)
+    }
+
+    def read(out: Array[Byte], off: Int): Unit = {
+      var v = readValue()
       var i = 0
       while (i < 8) { out(off + i) = (v & 0xFF).toByte; v >>>= 8; i += 1 }
     }
@@ -257,7 +267,11 @@ object LazItems {
   final class Rgb12V2(dec: ArithmeticDecoder) {
     private val mByteUsed = new SymbolModel(128)
     private val mDiff = Array.fill(6)(new SymbolModel(256))
-    private var lastR = 0; private var lastG = 0; private var lastB = 0
+    // package-visible: the RGB14 v3 layered reader seeds a fresh
+    // scanner-channel context from another context's last color
+    private[laz] var lastR = 0; private[laz] var lastG = 0; private[laz] var lastB = 0
+
+    def seed(r: Int, g: Int, b: Int): Unit = { lastR = r; lastG = g; lastB = b }
 
     def init(raw: Array[Byte], off: Int): Unit = {
       def u16(o: Int) = (raw(off + o) & 0xFF) | ((raw(off + o + 1) & 0xFF) << 8)
@@ -451,6 +465,49 @@ object LazItems {
       out(off) = r.toByte; out(off + 1) = (r >> 8).toByte
       out(off + 2) = g.toByte; out(off + 3) = (g >> 8).toByte
       out(off + 4) = b.toByte; out(off + 5) = (b >> 8).toByte
+    }
+  }
+
+  /** BYTE item (extra-bytes payload), spec version 2: one 256-symbol
+    * model per byte position coding the u8-folded diff from the previous
+    * point's byte at the same position. */
+  final class ByteV2(dec: ArithmeticDecoder, n: Int) {
+    private val mByte = Array.fill(n)(new SymbolModel(256))
+    private val last = new Array[Int](n)
+
+    def init(raw: Array[Byte], off: Int): Unit = {
+      var i = 0
+      while (i < n) { last(i) = raw(off + i) & 0xFF; i += 1 }
+    }
+
+    def read(out: Array[Byte], off: Int): Unit = {
+      var i = 0
+      while (i < n) {
+        last(i) = u8fold(dec.decodeSymbol(mByte(i)) + last(i))
+        out(off + i) = last(i).toByte
+        i += 1
+      }
+    }
+  }
+
+  /** BYTE item, spec version 1: each byte through one 8-bit integer
+    * decompressor with a context per byte position. */
+  final class ByteV1(dec: ArithmeticDecoder, n: Int) {
+    private val icByte = new IntegerDecompressor(dec, 8, n)
+    private val last = new Array[Int](n)
+
+    def init(raw: Array[Byte], off: Int): Unit = {
+      var i = 0
+      while (i < n) { last(i) = raw(off + i) & 0xFF; i += 1 }
+    }
+
+    def read(out: Array[Byte], off: Int): Unit = {
+      var i = 0
+      while (i < n) {
+        last(i) = icByte.decompress(last(i), i) & 0xFF
+        out(off + i) = last(i).toByte
+        i += 1
+      }
     }
   }
 }

@@ -1,0 +1,204 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import graft.sources.{LasDecode, LasWriter}
+import org.apache.spark.sql.Row
+
+/** LAS 1.4 LAYERED compressor 3 (formats 6-8), the compressed
+  * extra-bytes BYTE item, and the gps-time multi-table branch golden.
+  * No reference fixture exists for any of these (the reference's
+  * vendored-laszip era predates compressor 3 and its .laz fixtures
+  * carry no extra bytes), so the encoder is the fixture source:
+  * round-trips must be EXACT, multi-chunk, across context switches. */
+class LazLayeredSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private val xf = LasWriter.XForms(0.001, 0.001, 0.001, 0, 0, 0)
+
+  /** Synthetic v14 cloud: alternating scanner channels (context
+    * switches), 4-bit returns, full-range fields, mixed gps behavior. */
+  private def v14Rows(n: Int, seedId: Long): Seq[Row] = {
+    val gen: Gen[Row] = for {
+      x <- Gen.frequency((4, Gen.choose(-1000.0, 1000.0)), (1, Gen.oneOf(-1.0e6, 1.0e6)))
+      y <- Gen.frequency((4, Gen.choose(-1000.0, 1000.0)), (1, Gen.oneOf(-1.0e6, 123.456)))
+      z <- Gen.choose(-100.0, 4000.0)
+      intensity <- Gen.frequency((3, Gen.choose(0, 300)), (1, Gen.oneOf(0, 65535)))
+      ret <- Gen.choose(1, 15)
+      num <- Gen.choose(1, 15)
+      cls <- Gen.frequency((3, Gen.choose(0, 5)), (1, Gen.choose(0, 255)))
+      angHundredths <- Gen.choose(-15000, 15000)
+      usr <- Gen.choose(0, 255)
+      psid <- Gen.frequency((3, Gen.choose(0, 10)), (1, Gen.choose(0, 65535)))
+      gps <- Gen.frequency((3, Gen.choose(1000.0, 1000.5)), (1, Gen.oneOf(0.0, 1.7e300)))
+      r <- Gen.choose(0, 65535); g <- Gen.choose(0, 65535); b <- Gen.choose(0, 65535)
+      nir <- Gen.choose(0, 65535)
+      chan <- Gen.frequency((5, Gen.const(0)), (2, Gen.choose(0, 3)))
+    } yield Row("p", 0, x, y, z, intensity, ret.toShort, num.toShort, cls.toShort,
+      // the v14 writer quantizes angle to 0.006-degree steps; feed it
+      // exact multiples so the round-trip compare can be exact
+      (angHundredths * 0.006).toFloat, usr.toShort, psid, gps, r, g, b, nir, chan.toShort)
+    Gen.listOfN(n, gen).apply(Gen.Parameters.default, Seed(seedId)).get
+      .zipWithIndex.map { case (r, i) => Row.fromSeq(r.toSeq.updated(1, i)) }
+  }
+
+  private def roundTrip(fmt: Int, n: Int, seedId: Long, chunkSize: Int): Unit = {
+    val rows = v14Rows(n, seedId)
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 2), LasDecode.schema).orderBy("span_idx")
+    val out = java.nio.file.Files.createTempFile(s"graftlazl$fmt$seedId", ".laz").toString
+    val h = LasWriter.writeLaz(out, df, pointFormat = fmt, xf, chunkSize = chunkSize)
+    assert(h.versionMinor === 4 && h.pointFormat === fmt)
+    val (h1, decoded) = LasDecode.readPoints(out)
+    assert(h1.pointCount === n.toLong)
+    val want = df.collect()
+    decoded.zip(want).zipWithIndex.foreach { case ((d, w), i) =>
+      Seq(2, 3, 4).foreach { f =>
+        assert(math.abs(d.getDouble(f) - w.getDouble(f)) <= 0.0005 + 1e-9,
+          s"fmt $fmt seed $seedId row $i coord $f")
+      }
+      assert(math.abs(d.getFloat(9) - w.getFloat(9)) <= 0.003f,
+        s"fmt $fmt row $i scan angle")
+      // everything else exact: intensity, returns, class, user, psid,
+      // gps bits, rgb, nir, scanner channel
+      (Seq(5, 6, 7, 8, 10, 11, 12) ++
+        (if (fmt >= 7) Seq(13, 14, 15) else Nil) ++
+        (if (fmt == 8) Seq(16) else Nil) ++ Seq(17)).foreach { f =>
+        assert(d.get(f) === w.get(f), s"fmt $fmt seed $seedId row $i field $f")
+      }
+    }
+  }
+
+  test("layered fmt 6 multi-chunk round-trip is exact (context switches included)") {
+    roundTrip(fmt = 6, n = 400, seedId = 1, chunkSize = 120)
+  }
+
+  test("layered fmt 7 (rgb) round-trip is exact") {
+    roundTrip(fmt = 7, n = 300, seedId = 2, chunkSize = 90)
+  }
+
+  test("layered fmt 8 (rgb + nir) round-trip is exact, multiple seeds") {
+    (3 to 5).foreach(s => roundTrip(fmt = 8, n = 250, seedId = s, chunkSize = 80))
+  }
+
+  test("layered .laz decodes chunk-parallel, equal to the driver decode") {
+    val rows = v14Rows(500, 7)
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 2), LasDecode.schema).orderBy("span_idx")
+    val out = java.nio.file.Files.createTempFile("graftlazlcp", ".laz").toString
+    LasWriter.writeLaz(out, df, pointFormat = 8, xf, chunkSize = 125)
+    val par = LasDecode.asChunkSplitDataFrame(spark, out)
+    assert(par.rdd.getNumPartitions === 4, "one task per layered chunk")
+    val drv = spark.createDataFrame(
+      spark.sparkContext.parallelize(LasDecode.readPoints(out)._2, 2), LasDecode.schema)
+    assert(par.count() === 500)
+    assert(par.exceptAll(drv).isEmpty && drv.exceptAll(par).isEmpty)
+  }
+
+  test("wave-packet items fail loudly, not garbage") {
+    val vlr = graft.sources.laz.LazDecoder.LazVlr(3, 50000,
+      Seq((graft.sources.laz.LazDecoder.ItemPoint14, 30, 3),
+        (graft.sources.laz.LazDecoder.ItemWavepacket14, 29, 3)))
+    val ex = intercept[IllegalArgumentException] {
+      graft.sources.laz.LazDecoder.requireSupported(vlr)
+    }
+    assert(ex.getMessage.contains("wave packets"))
+  }
+
+  test("variable-size chunking sentinel fails loudly") {
+    val vlr = graft.sources.laz.LazDecoder.LazVlr(2, 0xFFFFFFFFL,
+      Seq((graft.sources.laz.LazDecoder.ItemPoint10, 20, 2)))
+    val ex = intercept[IllegalArgumentException] {
+      graft.sources.laz.LazDecoder.requireSupported(vlr)
+    }
+    assert(ex.getMessage.contains("variable-size"))
+  }
+
+  // ---- compressed extra bytes (BYTE item) ------------------------------
+
+  test("lasToLaz compresses extrabytes.las; extras decode identically through the BYTE item") {
+    val src = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$RefData/las/extrabytes.las"))
+    val laz = LasWriter.lasToLaz(src, chunkSize = 100)
+    val out = java.nio.file.Files.createTempFile("graftlazeb", ".laz").toString
+    java.nio.file.Files.write(java.nio.file.Paths.get(out), laz)
+    assert(LasDecode.isLaszip(out), "laszip format bit missing")
+    // full typed decode INCLUDING extra dims must equal the uncompressed twin
+    val a = LasDecode.asDataFrameWithExtras(spark, s"$RefData/las/extrabytes.las")
+    val b = LasDecode.asDataFrameWithExtras(spark, out)
+    assert(a.columns === b.columns, "extra-dim columns differ")
+    assert(b.count() === a.count() && a.count() > 0)
+    assert(b.exceptAll(a).isEmpty && a.exceptAll(b).isEmpty,
+      "extras differ after laz round-trip")
+    // and it actually compresses
+    assert(laz.length < src.length, s"laz ${laz.length} not smaller than ${src.length}")
+  }
+
+  test("lasToLaz round-trips a plain fixture bit-for-bit (fmt 1, gps times)") {
+    val src = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$RefData/las/interesting.las"))
+    val laz = LasWriter.lasToLaz(src, chunkSize = 300)
+    val out = java.nio.file.Files.createTempFile("graftlaz2l", ".laz").toString
+    java.nio.file.Files.write(java.nio.file.Paths.get(out), laz)
+    val (h0, rows0) = LasDecode.readPoints(s"$RefData/las/interesting.las")
+    val (h1, rows1) = LasDecode.readPoints(out)
+    assert(h1.pointCount === h0.pointCount && h1.pointFormat === h0.pointFormat)
+    rows0.zip(rows1).zipWithIndex.foreach { case ((a, b), i) =>
+      assert(a === b, s"point $i differs after lasToLaz")
+    }
+  }
+
+  // ---- gps-time multi-table branch golden ------------------------------
+
+  test("gps multi-table golden: crafted time series drives every multiplier branch exactly") {
+    // Bit-space construction: gps values are the BASE double's raw bits
+    // plus planned bit-diffs, so each point's multiplier (diff ratio per
+    // the spec's I32_QUANTIZE rule) is exact by construction.
+    val base = java.lang.Double.doubleToRawLongBits(1000.0)
+    val far = java.lang.Double.doubleToRawLongBits(1.0e9)
+    val d = 1000L
+    val bitPlan = scala.collection.mutable.ArrayBuffer[Long](base)
+    def step(delta: Long): Unit = bitPlan += bitPlan.last + delta
+    step(d)        // 0diff branch -> 32-bit diff (m0Diff 1), lastDiff = d
+    step(d)        // multi == 1
+    step(d)        // multi == 1
+    step(5 * d)    // multi 5   (2..9 family)
+    step(50 * d)   // multi 50  (10..499 family)
+    step(600 * d)  // multi 600 -> >=500 family (extreme 1)
+    step(0)        // unchanged (511)
+    step(-3 * d)   // multi -3  (-1..-9 family)
+    step(-50 * d)  // multi -50 -> <=-10 family (extreme 2)
+    step(d / 3)    // ratio 0.33 -> multi 0 (extreme 3)
+    step(d / 3)    // multi 0 again -> extreme 4 > 3: lastDiff takeover (333)
+    step(d / 3)    // multi 1 on the taken-over diff
+    bitPlan += far            // doesn't fit 32 bits, no other frame -> FULL (512), frame 1
+    bitPlan += far + d        // frame 1: 0diff branch 32-bit diff
+    bitPlan += far            // multi-branch unchanged? no: lastDiff(1)=d -> multi... -1? -> -1 family; keep simple: back near frame 0
+    bitPlan += base + 12 * d  // frame 1 can't reach (huge diff); frame 0 CAN -> frame-switch (513..515), then multi on frame 0
+    bitPlan += base + 13 * d  // multi ~3 on frame 0 (333 lastDiff)
+    val times = bitPlan.toSeq.map(java.lang.Double.longBitsToDouble)
+    // sanity: the planned ratios really cover every family
+    def i32q(x: Double): Long = if (x >= 0) (x + 0.5).toLong else (x - 0.5).toLong
+    val ratios = Seq(1L, 1L, 5L, 50L, 600L, -3L, -50L).map(m => i32q(m * d.toDouble / d))
+    assert(ratios.contains(1L) && ratios.exists(r => r >= 2 && r <= 9) &&
+      ratios.exists(r => r >= 10 && r <= 499) && ratios.exists(_ >= 500) &&
+      ratios.exists(r => r <= -1 && r >= -9) && ratios.exists(_ <= -10))
+
+    val rows = times.zipWithIndex.map { case (t, i) =>
+      Row("g", i, i * 1.0, 0.0, 0.0, 0, 1.toShort, 1.toShort, 0.toShort,
+        0.0f, 0.toShort, 0, t, 0, 0, 0, 0, 0.toShort)
+    }
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1), LasDecode.schema).orderBy("span_idx")
+    val out = java.nio.file.Files.createTempFile("graftgpsmt", ".laz").toString
+    LasWriter.writeLaz(out, df, pointFormat = 1, xf, chunkSize = 100000)
+    val (_, decoded) = LasDecode.readPoints(out)
+    assert(decoded.size === times.size)
+    // gps doubles BIT-exact (raw-bit compare, not just ==)
+    decoded.zip(times).zipWithIndex.foreach { case ((row, want), i) =>
+      assert(java.lang.Double.doubleToRawLongBits(row.getDouble(12)) ===
+        java.lang.Double.doubleToRawLongBits(want), s"gps point $i")
+    }
+  }
+}
