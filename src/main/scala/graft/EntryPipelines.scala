@@ -286,6 +286,18 @@ object EntryPipelines {
       // verify that IN SQL and emit a loud poison row (breaking the hash
       // compare) if the band were ever too narrow — the oracle can be
       // fast without trusting the engine's grid.
+      //
+      // DETERMINISM (the r2 recipe, applied to selection rather than
+      // aggregation): the winner per point is the MINIMUM of the pair
+      // set under the total order (dist, cdoc, cspan) — a pure
+      // comparison, never a float SUM, so no partial-aggregation
+      // reassociation can flip it between partitionings; the engine's
+      // min_by over the identical (d2, id) struct ordering picks the
+      // same row bit-for-bit (ties included, because the id tail makes
+      // the order total). dx/dy/dz are then single subtractions of
+      // stored doubles on the winning row — identical in both systems.
+      // The shuffle.partitions 4-vs-32 invariance spec pins the engine
+      // side (OperatorBehaviorSpec "delta nearest-1 is bit-identical").
       "q_knn_delta" ->
         s"""WITH $P,
            |src AS (SELECT * FROM pts WHERE intensity % 89 = 0),

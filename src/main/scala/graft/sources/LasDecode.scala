@@ -147,6 +147,51 @@ object LasDecode {
     case _ => None
   }
 
+  /** Parse the LAS 1.4 EXTENDED VLRs (EVLRs) of a file: the header's
+    * u64 EVLR offset (byte 235) and u32 count (byte 243) point past the
+    * point data; each record is a 60-byte header (reserved u16, user_id
+    * char[16], record_id u16, payload length u64, description char[32])
+    * plus payload. A 1.4 file may carry its WKT SRS (record 2112) ONLY
+    * here, after the points — [[srsOf]] folds these in. Reads just the
+    * EVLR region (seek + bounded reads), never the point data; payloads
+    * above `maxPayload` are skipped (a waveform-data EVLR can be GBs). */
+  def readEvlrs(path: String, maxPayload: Int = 16 << 20): Seq[Vlr] = {
+    val head = {
+      val in = Files.newInputStream(Paths.get(path))
+      try in.readNBytes(375) finally in.close()
+    }
+    if (head.length < 375 || (head(25) & 0xff) < 4) return Nil
+    val hb = ByteBuffer.wrap(head).order(ByteOrder.LITTLE_ENDIAN)
+    val evlrOff = hb.getLong(235)
+    val n = hb.getInt(243)
+    val fileLen = Files.size(Paths.get(path))
+    if (evlrOff <= 0 || n <= 0 || evlrOff + 60 > fileLen) return Nil
+    val ch = java.nio.channels.FileChannel.open(Paths.get(path))
+    try {
+      val out = Vector.newBuilder[Vlr]
+      var off = evlrOff
+      var i = 0
+      while (i < n && off + 60 <= fileLen) {
+        val hdr = ByteBuffer.allocate(60).order(ByteOrder.LITTLE_ENDIAN)
+        ch.read(hdr, off)
+        hdr.flip()
+        val uid = new Array[Byte](16); val desc = new Array[Byte](32)
+        hdr.position(2); hdr.get(uid)
+        val rid = hdr.getShort() & 0xffff
+        val len = hdr.getLong()
+        hdr.get(desc)
+        if (len >= 0 && len <= maxPayload && off + 60 + len <= fileLen) {
+          val payload = ByteBuffer.allocate(len.toInt)
+          ch.read(payload, off + 60)
+          out += Vlr(cString(uid), rid, cString(desc), payload.array())
+        }
+        off += 60 + math.max(0L, len)
+        i += 1
+      }
+      out.result()
+    } finally ch.close()
+  }
+
   /** Header of a LAS file from its first bytes only (zero Spark jobs) —
     * the free row-count/extent source for pipeline routing decisions. */
   def headerOf(path: String): LasHeader = {
@@ -167,7 +212,9 @@ object LasDecode {
       head ++ in.readNBytes(math.max(0L, dataOffset - head.length).toInt)
     } finally in.close()
     val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
-    epsgOf(readVlrs(bb)).flatMap(registrySrsForEpsg)
+    // a 1.4 file may carry the WKT record 2112 only as an EVLR after the
+    // point data — fold those in behind the inline VLRs
+    epsgOf(readVlrs(bb) ++ readEvlrs(path)).flatMap(registrySrsForEpsg)
   }
 
   // ---- extra-bytes dimensions (VLR LASF_Spec record 4) -----------------

@@ -254,6 +254,33 @@ object LasWriter {
     out.toByteArray
   }
 
+  /** Append an OGC-WKT SRS record (2112) as a LAS 1.4 EXTENDED VLR to a
+    * finished 1.4 file image: the EVLR goes after the point data and the
+    * header's u64 EVLR offset (byte 235) / u32 count (byte 243) are
+    * patched. ASPRS 1.4 requires the WKT CRS for formats 6+ (the writer
+    * already sets the WKT global-encoding bit); readers that only scan
+    * inline VLRs miss EVLR-only SRS — [[LasDecode.readEvlrs]] is the
+    * matching read side. */
+  def appendWktEvlr(bytes: Array[Byte], wkt: String): Array[Byte] = {
+    val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    require((bb.get(25) & 0xff) >= 4, "EVLRs are a LAS 1.4 feature")
+    require(bb.getInt(243) == 0, "file already has EVLRs; appending more is unsupported")
+    val payload = wkt.getBytes("US-ASCII") :+ 0.toByte // NUL-terminated per spec
+    val evlr = ByteBuffer.allocate(60 + payload.length).order(ByteOrder.LITTLE_ENDIAN)
+    evlr.putShort(0)
+    evlr.put("LASF_Projection".padTo(16, ' ').getBytes("US-ASCII"), 0, 16)
+    evlr.putShort(2112.toShort)
+    evlr.putLong(payload.length.toLong)
+    evlr.put("OGC WKT SRS".padTo(32, ' ').getBytes("US-ASCII"), 0, 32)
+    evlr.put(payload)
+    val out = java.util.Arrays.copyOf(bytes, bytes.length + evlr.capacity())
+    System.arraycopy(evlr.array(), 0, out, bytes.length, evlr.capacity())
+    val ob = ByteBuffer.wrap(out).order(ByteOrder.LITTLE_ENDIAN)
+    ob.putLong(235, bytes.length.toLong) // EVLR offset
+    ob.putInt(243, 1)                    // EVLR count
+    out
+  }
+
   /** Convert an UNCOMPRESSED LAS byte image into the equivalent .laz,
     * preserving the original header fields and every existing VLR
     * (extra-bytes descriptors, SRS records, ...) verbatim — the laszip
@@ -307,10 +334,15 @@ object LasWriter {
     * doc_id, span_idx) so each task streams its shards sequentially:
     * placeholder header, records one at a time, then the finalized
     * header seeked back in. Memory per task = one record buffer + one
-    * running summary — independent of shard size. The destination must
-    * be a task-writable shared filesystem (local dir here; on a real
-    * cluster a mounted share — object stores would buffer the body to a
-    * task-local temp file first, the standard two-phase upload).
+    * running summary — independent of shard size.
+    *
+    * Destinations: a PLAIN path writes directly (task-writable shared
+    * filesystem). A path WITH a scheme (`file:/...`, `hdfs://...`,
+    * `s3a://...`) goes through the Hadoop FileSystem API with the
+    * standard object-store-safe TWO-PHASE protocol: each shard is
+    * finalized in a task-local temp file, uploaded as
+    * `<name>.inprogress`, then renamed — a killed task never leaves a
+    * half-written shard under its final name.
     *
     * Returns the shard file names written (collected; one small row per
     * shard). Reference discipline: io/las/LasWriter.cpp single-file
@@ -319,7 +351,11 @@ object LasWriter {
                    shardCol: String, numTasks: Int = 0,
                    compress: Boolean = false): Seq[String] = {
     import org.apache.spark.sql.Encoders
-    Files.createDirectories(Paths.get(dir))
+    val hasScheme = dir.matches("[a-zA-Z][a-zA-Z0-9+.-]*:/.*")
+    if (hasScheme) {
+      val p = new org.apache.hadoop.fs.Path(dir)
+      p.getFileSystem(new org.apache.hadoop.conf.Configuration()).mkdirs(p)
+    } else Files.createDirectories(Paths.get(dir))
     val rl = recordLen(pointFormat)
     val cols = df.columns
     val ix = ColIx.of(cols)
@@ -338,6 +374,8 @@ object LasWriter {
         val rec = ByteBuffer.allocate(rl).order(ByteOrder.LITTLE_ENDIAN)
         var cur: Any = null
         var raf: java.io.RandomAccessFile = null
+        var rafTmp: java.io.File = null   // non-null = two-phase publish
+        var rafName: String = null
         var s: Summary = null
         var written = List.empty[String]
         // compressed path buffers the shard's raw records (a shard is
@@ -346,15 +384,35 @@ object LasWriter {
         var lazBuf: ByteArrayOutputStream = null
         var lazName: String = null
         val headerLen = if (LasDecode.isV14(pointFormat)) 375 else 227
+        // two-phase publish: upload the finished local file as
+        // <name>.inprogress, then rename — object-store-safe commit
+        def publish(local: java.io.File, name: String): Unit = {
+          val destDir = new org.apache.hadoop.fs.Path(dir)
+          val fs = destDir.getFileSystem(new org.apache.hadoop.conf.Configuration())
+          val tmpDst = new org.apache.hadoop.fs.Path(destDir, name + ".inprogress")
+          val dst = new org.apache.hadoop.fs.Path(destDir, name)
+          fs.copyFromLocalFile(false, true,
+            new org.apache.hadoop.fs.Path(local.toURI), tmpDst)
+          if (fs.exists(dst)) fs.delete(dst, false)
+          require(fs.rename(tmpDst, dst), s"two-phase rename failed for $name")
+          local.delete(); ()
+        }
+        def writeBlob(name: String, bytes: Array[Byte]): Unit =
+          if (hasScheme) {
+            val tmp = java.io.File.createTempFile("graftshard", name)
+            Files.write(tmp.toPath, bytes)
+            publish(tmp, name)
+          } else Files.write(Paths.get(s"$dir/$name"), bytes)
         def close(): Unit = {
           if (raf != null) {
             raf.seek(0)
             raf.write(headerBytes(pointFormat, xf, s))
             raf.close(); raf = null
+            if (rafTmp != null) { publish(rafTmp, rafName); rafTmp = null }
+            rafName = null
           }
           if (lazBuf != null) {
-            Files.write(Paths.get(s"$dir/$lazName"),
-              lazContainerBytes(lazBuf.toByteArray, pointFormat, xf, s, 50000))
+            writeBlob(lazName, lazContainerBytes(lazBuf.toByteArray, pointFormat, xf, s, 50000))
             lazBuf = null; lazName = null
           }
         }
@@ -365,11 +423,14 @@ object LasWriter {
             lazBuf = new ByteArrayOutputStream()
             written ::= lazName
           } else {
-            val name = s"shard_$shard.las"
-            raf = new java.io.RandomAccessFile(s"$dir/$name", "rw")
+            rafName = s"shard_$shard.las"
+            val target =
+              if (hasScheme) { rafTmp = java.io.File.createTempFile("graftshard", rafName); rafTmp.getPath }
+              else s"$dir/$rafName"
+            raf = new java.io.RandomAccessFile(target, "rw")
             raf.setLength(0)
             raf.write(new Array[Byte](headerLen)) // placeholder
-            written ::= name
+            written ::= rafName
           }
         }
         new Iterator[String] {

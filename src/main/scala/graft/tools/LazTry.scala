@@ -1,13 +1,22 @@
 // scratch driver: decode a .laz and diff against its .las ground truth
 // field-by-field, reporting the FIRST divergence per field (run via
-// `sbt "runMain graft.tools.LazTry <laz> <las>"`). Not part of the build
-// contract — kept for debugging the clean-room LASzip decoder.
+// `sbt "runMain graft.tools.LazTry <laz> <las>"`), or compress a .las
+// with the clean-room encoder (`LazTry compress <las> <out.laz>`) for
+// external laszip cross-validation (recipe in SCALE.md). Not part of
+// the build contract — kept for debugging the LASzip codec.
 package graft.tools
 
-import graft.sources.LasDecode
+import graft.sources.{LasDecode, LasWriter}
 
 object LazTry {
   def main(args: Array[String]): Unit = {
+    if (args.length == 3 && args(0) == "compress") {
+      val src = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(args(1)))
+      val laz = LasWriter.lasToLaz(src)
+      java.nio.file.Files.write(java.nio.file.Paths.get(args(2)), laz)
+      println(s"${args(1)} (${src.length} B) -> ${args(2)} (${laz.length} B)")
+      return
+    }
     val lazPath = args(0)
     val lasPath = args(1)
     val (h1, laz) = LasDecode.readPoints(lazPath)

@@ -254,6 +254,67 @@ class LasFormatSpec extends AnyFunSuite {
     assert(redecoded.exceptAll(original).isEmpty && original.exceptAll(redecoded).isEmpty)
   }
 
+  test("two-phase sharded write over a file: URI re-decodes row-for-row (.las and .laz)") {
+    import org.apache.spark.sql.functions._
+    val (h0, _) = LasDecode.readPoints(P1065)
+    val df = LasDecode.asDataFrame(spark, P1065)
+      .withColumn("shard", pmod(col("span_idx"), lit(3)))
+    val original = LasDecode.asDataFrame(spark, P1065).drop("doc_id", "span_idx")
+    Seq(false, true).foreach { compress =>
+      val plainDir = java.nio.file.Files.createTempDirectory(s"grafts2p$compress").toString
+      // scheme'd destination -> Hadoop FS + task-local temp + rename
+      val files = LasWriter.writeSharded(s"file:$plainDir", df,
+        pointFormat = h0.pointFormat,
+        LasWriter.XForms(h0.sx, h0.sy, h0.sz, h0.ox, h0.oy, h0.oz), "shard",
+        compress = compress)
+      val ext = if (compress) "laz" else "las"
+      assert(files === Seq(s"shard_0.$ext", s"shard_1.$ext", s"shard_2.$ext"))
+      // no .inprogress residue — every shard committed via rename
+      val residue = new java.io.File(plainDir).list().filter(_.endsWith(".inprogress"))
+      assert(residue.isEmpty, s"uncommitted shards left behind: ${residue.mkString(",")}")
+      val redecoded = LasDecode.asDistributedDataFrame(spark, s"$plainDir/*.$ext")
+        .drop("doc_id", "span_idx")
+      assert(redecoded.count() === 1065)
+      assert(redecoded.exceptAll(original).isEmpty && original.exceptAll(redecoded).isEmpty)
+    }
+  }
+
+  test("EVLR-only WKT SRS (LAS 1.4) is parsed and feeds in_srs=auto") {
+    import org.apache.spark.sql.functions._
+    // build a 1.4 format-6 file whose ONLY SRS record is a WKT EVLR
+    // after the point data (header bytes 235/243), the layout ASPRS 1.4
+    // prescribes for formats 6+
+    val df = LasDecode.asDataFrame(spark, P1065)
+      .withColumn("x", col("x") / 1e6 - 0.2) // degree-range lon/lat
+      .withColumn("y", col("y") / 1e6 + 45.0)
+      .orderBy("span_idx")
+    val out = java.nio.file.Files.createTempFile("graftevlr", ".las").toString
+    LasWriter.write(out, df, pointFormat = 6,
+      LasWriter.XForms(1e-7, 1e-7, 0.01, 0, 0, 0))
+    val wkt = """GEOGCS["WGS 84",DATUM["WGS_1984",SPHEROID["WGS 84",6378137,298.257223563]],AUTHORITY["EPSG","4326"]]"""
+    val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(out))
+    assert(LasDecode.srsOf(out) === None, "no SRS expected before the EVLR")
+    java.nio.file.Files.write(java.nio.file.Paths.get(out),
+      LasWriter.appendWktEvlr(bytes, wkt))
+    // EVLR parse: record surfaces with the right id and payload
+    val evlrs = LasDecode.readEvlrs(out)
+    assert(evlrs.map(v => (v.userId, v.recordId)) === Seq(("LASF_Projection", 2112)))
+    assert(LasDecode.srsOf(out) === Some("EPSG:4326"))
+    // and the point data still decodes (EVLR sits after it, untouched)
+    assert(LasDecode.readPoints(out)._2.size === 1065)
+    // in_srs=auto through the pipeline: geographic -> web mercator
+    val proj = graft.plans.Pipeline.run(spark,
+      s"""{ "pipeline": [
+         |  {"type": "readers.las", "path": "$out"},
+         |  {"type": "filters.reprojection", "in_srs": "auto",
+         |   "out_srs": "EPSG:3857"}
+         |]}""".stripMargin).df
+    val r = proj.agg(min("x"), max("x")).head()
+    // lon ~ +0.435..0.44 deg -> ~48.4-49.0 km in web mercator
+    assert(r.getDouble(0) > 40000 && r.getDouble(1) < 60000,
+      s"mercator x out of range: ${r.getDouble(0)}..${r.getDouble(1)}")
+  }
+
   test("offset-split ingest of one file equals the driver decode (2 and 3 splits)") {
     val drv = LasDecode.asDataFrame(spark, P1065)
     Seq(2, 3).foreach { n =>
