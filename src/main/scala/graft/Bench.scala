@@ -86,6 +86,45 @@ object Bench {
           val n = df.count()
           require(n == expected, s"chunk-parallel decoded $n of $expected points")
         }
+      }),
+      // LAS 1.4 LAYERED compressor 3 (fmt 8: POINT14 + RGBNIR14):
+      // chunk-parallel full decode of one multi-chunk layered archive
+      "x_laz14_layered_1file" -> (() => {
+        import org.apache.spark.sql.functions._
+        val dir = java.nio.file.Files.createTempDirectory("graftlaz14").toString
+        val src = graft.model.Model.explodePoints(
+            graft.sources.DocSynth.cachedDocs(spark, sfDir))
+          .withColumn("nir", (col("intensity") + 7).cast("int"))
+          .withColumn("scanner_channel", (col("span_idx") % 4).cast("short"))
+        graft.sources.LasWriter.writeLaz(s"$dir/all14.laz", src, pointFormat = 8,
+          graft.sources.LasWriter.XForms(0.001, 0.001, 0.001, 0, 0, 0),
+          chunkSize = 50000)
+        val expected = src.count()
+        () => {
+          val n = graft.sources.LasDecode.asChunkSplitDataFrame(spark, s"$dir/all14.laz").count()
+          require(n == expected, s"layered decode got $n of $expected points")
+        }
+      }),
+      // SELECTIVE DECOMPRESSION on the same layered archive: an x/y/z
+      // query decodes 2 of 11 layers — the codec-level column pruning
+      // a 100 TB spatial scan lives on (compare with the full decode
+      // entry above)
+      "x_laz14_selective_xyz" -> (() => {
+        import org.apache.spark.sql.functions._
+        val dir = java.nio.file.Files.createTempDirectory("graftlaz14s").toString
+        val src = graft.model.Model.explodePoints(
+            graft.sources.DocSynth.cachedDocs(spark, sfDir))
+          .withColumn("nir", (col("intensity") + 7).cast("int"))
+          .withColumn("scanner_channel", (col("span_idx") % 4).cast("short"))
+        graft.sources.LasWriter.writeLaz(s"$dir/sel14.laz", src, pointFormat = 8,
+          graft.sources.LasWriter.XForms(0.001, 0.001, 0.001, 0, 0, 0),
+          chunkSize = 50000)
+        val expected = src.count()
+        () => {
+          val n = graft.sources.LasDecode.asChunkSplitDataFrame(
+            spark, s"$dir/sel14.laz", columns = Seq("z")).count()
+          require(n == expected, s"selective decode got $n of $expected points")
+        }
       }))
     val extraResults = extras.map { case (name, setup) =>
       try { timed(name)(setup()) }

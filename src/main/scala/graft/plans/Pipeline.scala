@@ -126,15 +126,23 @@ object Pipeline {
           ctx.inferredSrs = LasDecode.srsOf(path)
           ctx.inferredCount = Some(LasDecode.headerOf(path).pointCount)
         }
+        // "columns": project the read — on layered .laz via the chunk
+        // path this prunes whole entropy layers INSIDE the codec
+        // (selective decompression); elsewhere a post-decode projection
+        val colsCfg = st.strs("columns").getOrElse(Nil)
+        def project(df: DataFrame): DataFrame =
+          if (colsCfg.isEmpty) df
+          else df.select(((Seq("doc_id", "span_idx", "x", "y") ++ colsCfg).distinct
+            .filter(df.columns.contains)).map(org.apache.spark.sql.functions.col): _*)
         st.int("splits") match {
           case Some(_) if LasDecode.isLaszip(path) =>
             // compressed records aren't offset-splittable; LAZ chunks
             // are the natural parallel unit instead
-            LasDecode.asChunkSplitDataFrame(spark, path)
-          case Some(n) => LasDecode.asSplitDataFrame(spark, path, n)
+            LasDecode.asChunkSplitDataFrame(spark, path, columns = colsCfg)
+          case Some(n) => project(LasDecode.asSplitDataFrame(spark, path, n))
           case None if st.bool("distributed").getOrElse(false) =>
-            LasDecode.asDistributedDataFrame(spark, path)
-          case None => LasDecode.asDataFrame(spark, path)
+            project(LasDecode.asDistributedDataFrame(spark, path))
+          case None => project(LasDecode.asDataFrame(spark, path))
         }
 
       // ---- filters -----------------------------------------------------

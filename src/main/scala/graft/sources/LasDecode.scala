@@ -496,7 +496,16 @@ object LasDecode {
     * executor. span_idx stays the absolute record index, so chunk
     * parallelism never changes the decoded frame. */
   def asChunkSplitDataFrame(spark: SparkSession, path: String,
-                            docId: String = "las"): DataFrame = {
+                            docId: String = "las",
+                            columns: Seq[String] = Nil): DataFrame = {
+    // SELECTIVE DECOMPRESSION: on layered (compressor 3) streams a
+    // non-empty `columns` prunes whole entropy layers inside the codec —
+    // an x/y/z query decodes 2 of 9+ layers and never touches gps/rgb/
+    // extra bytes (LazLayered.LayerMask). Compressor 1/2 interleave all
+    // fields, so there the projection happens after decode as usual.
+    val mask =
+      if (columns.isEmpty) laz.LazLayered.LayerMask.All
+      else laz.LazLayered.LayerMask.forColumns(columns)
     val absPath = Paths.get(path).toAbsolutePath.toString
     // driver reads ONLY header + VLR block + chunk table
     val headBlock = {
@@ -548,7 +557,7 @@ object LasDecode {
     }
     val rowEnc = org.apache.spark.sql.Encoders.row(schema)
     import spark.implicits._
-    spark.createDataset(descs).repartition(descs.size)
+    val decoded = spark.createDataset(descs).repartition(descs.size)
       .flatMap { case (ci, start, end, count) =>
         val hp = new org.apache.hadoop.fs.Path(absPath)
         val fs = hp.getFileSystem(new org.apache.hadoop.conf.Configuration())
@@ -556,13 +565,19 @@ object LasDecode {
         val buf = new Array[Byte]((end - start).toInt)
         try in.readFully(start.toLong, buf, 0, buf.length)
         finally in.close()
-        val raw = laz.LazDecoder.decompressChunk(buf, 0, count, h.recordLen, vlr)
+        val raw = laz.LazDecoder.decompressChunk(buf, 0, count, h.recordLen, vlr, mask)
         val rb = ByteBuffer.wrap(raw).order(ByteOrder.LITTLE_ENDIAN)
         val base = ci.toLong * chunk
         (0 until count).iterator.map { i =>
           decodeRecord(rb, i * h.recordLen, h, docId, (base + i).toInt)
         }
       }(rowEnc)
+    if (columns.isEmpty) decoded
+    else {
+      val keep = (Seq("doc_id", "span_idx", "x", "y") ++ columns).distinct
+        .filter(schema.fieldNames.contains)
+      decoded.select(keep.map(org.apache.spark.sql.functions.col): _*)
+    }
   }
 
   /** Offset-SPLIT LAS ingest: ONE large file fanned across `numSplits`

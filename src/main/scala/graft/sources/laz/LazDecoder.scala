@@ -135,11 +135,18 @@ object LazDecoder {
 
   /** Decode ONE chunk in isolation (chunks are self-contained by
     * design: raw seed point + fresh models) — the unit of parallel
-    * decode for [[graft.sources.LasDecode.asChunkSplitDataFrame]]. */
+    * decode for [[graft.sources.LasDecode.asChunkSplitDataFrame]].
+    * `mask` selects layers for compressor-3 streams
+    * ([[LazLayered.LayerMask]]); compressor 1/2 interleave all fields
+    * in one stream, so the mask is a no-op there. */
   def decompressChunk(data: Array[Byte], chunkStart: Int, n: Int,
-                      recordLen: Int, vlr: LazVlr): Array[Byte] = {
+                      recordLen: Int, vlr: LazVlr,
+                      mask: Int = LazLayered.LayerMask.All): Array[Byte] = {
     val out = new Array[Byte](n * recordLen)
-    decodeChunk(data, chunkStart, out, 0, n, recordLen, vlr)
+    if (vlr.compressor == 3)
+      LazLayered.decodeChunk(data, chunkStart, out, 0, n, recordLen, vlr, mask)
+    else
+      decodeChunk(data, chunkStart, out, 0, n, recordLen, vlr)
     out
   }
 

@@ -106,6 +106,51 @@ object LazLayered {
   private val LUser = 6; private val LPsid = 7; private val LGps = 8
   val Point14Layers = 9
 
+  /** SELECTIVE DECOMPRESSION mask — the point of the layered design:
+    * every layer is an independent entropy stream, and only
+    * channel_returns_XY carries control flow (the per-point changed
+    * bits, return numbers and k-contexts everything else keys off).
+    * A query that needs x/y/z therefore decodes 2 of 9+ layers and
+    * never touches the gps/rgb/user/extra bytes AT ALL — column
+    * pruning pushed inside the codec. Pruned fields are UNDEFINED in
+    * the output records (seed-value or zero filled) — callers project
+    * them away. */
+  object LayerMask {
+    val XY = 1 << 0 // structurally required, always decoded
+    val Z = 1 << 1
+    val Classification = 1 << 2
+    val Flags = 1 << 3
+    val Intensity = 1 << 4
+    val ScanAngle = 1 << 5
+    val UserData = 1 << 6
+    val PointSource = 1 << 7
+    val GpsTime = 1 << 8
+    val Rgb = 1 << 9
+    val Nir = 1 << 10
+    val Extra = 1 << 11
+    val All = (1 << 12) - 1
+
+    /** Mask for a set of point-frame column names (unknown names are
+      * ignored; x/y and the identity columns ride the mandatory XY
+      * layer). */
+    def forColumns(cols: Iterable[String]): Int = {
+      var m = XY
+      cols.foreach {
+        case "z" => m |= Z
+        case "classification" => m |= Classification
+        case "intensity" => m |= Intensity
+        case "scan_angle_rank" => m |= ScanAngle
+        case "user_data" => m |= UserData
+        case "point_source_id" => m |= PointSource
+        case "gps_time" => m |= GpsTime
+        case "red" | "green" | "blue" => m |= Rgb
+        case "nir" => m |= Nir
+        case _ => ()
+      }
+      m
+    }
+  }
+
   /** Per-item layer counts in VLR order. */
   def layerCounts(items: Seq[(Int, Int, Int)]): Seq[Int] = items.map {
     case (LazDecoder.ItemPoint14, _, _) => Point14Layers
@@ -153,9 +198,10 @@ object LazLayered {
     }
   }
 
-  final class Point14V3Dec(dec: Array[ArithmeticDecoder]) {
+  final class Point14V3Dec(dec: Array[ArithmeticDecoder], mask: Int = LayerMask.All) {
     private val ctxs = Array.fill(4)(new Ctx14(dec))
     private var cur = 0
+    private def on(bit: Int): Boolean = (mask & bit) != 0
 
     def init(raw: Array[Byte], off: Int): Unit = {
       val seed = new Point14
@@ -204,29 +250,43 @@ object LazLayered {
         ctx1 + (if (kx < 20) kx & 0xFE else 20))
       cc.last.y += dy
       cc.lastYDiff(m).add(dy)
-      val kz = (kx + cc.icDy.lastK) / 2
-      cc.last.z = cc.icZ.decompress(cc.lastZ(l), ctx1 + (if (kz < 18) kz & 0xFE else 18))
-      cc.lastZ(l) = cc.last.z
-      val lastCls = cc.last.classification
-      if (cc.mClass(lastCls) == null) cc.mClass(lastCls) = new SymbolModel(256)
-      cc.last.classification = dec(LClass).decodeSymbol(cc.mClass(lastCls))
-      val lastF6 = cc.last.flags6
-      if (cc.mFlags(lastF6) == null) cc.mFlags(lastF6) = new SymbolModel(64)
-      val f6 = dec(LFlags).decodeSymbol(cc.mFlags(lastF6))
-      cc.last.flagsByte = (f6 & 0xF) | (cur << 4) | ((f6 >> 4) << 6)
-      val cpr = (if (r == 1) 1 else 0) | (if (r >= n) 2 else 0)
-      cc.last.intensity = cc.icIntensity.decompress(cc.lastIntensity(cpr), cpr) & 0xFFFF
-      cc.lastIntensity(cpr) = cc.last.intensity
-      if ((changed & 8) != 0)
+      if (on(LayerMask.Z)) {
+        val kz = (kx + cc.icDy.lastK) / 2
+        cc.last.z = cc.icZ.decompress(cc.lastZ(l), ctx1 + (if (kz < 18) kz & 0xFE else 18))
+        cc.lastZ(l) = cc.last.z
+      }
+      if (on(LayerMask.Classification)) {
+        val lastCls = cc.last.classification
+        if (cc.mClass(lastCls) == null) cc.mClass(lastCls) = new SymbolModel(256)
+        cc.last.classification = dec(LClass).decodeSymbol(cc.mClass(lastCls))
+      }
+      if (on(LayerMask.Flags)) {
+        val lastF6 = cc.last.flags6
+        if (cc.mFlags(lastF6) == null) cc.mFlags(lastF6) = new SymbolModel(64)
+        val f6 = dec(LFlags).decodeSymbol(cc.mFlags(lastF6))
+        cc.last.flagsByte = (f6 & 0xF) | (cur << 4) | ((f6 >> 4) << 6)
+      } else {
+        // flags layer pruned: keep the stale flag bits but the CHANNEL
+        // bits must track the layer-0 decision (downstream contexts)
+        cc.last.flagsByte = (cc.last.flagsByte & 0xCF) | (cur << 4)
+      }
+      if (on(LayerMask.Intensity)) {
+        val cpr = (if (r == 1) 1 else 0) | (if (r >= n) 2 else 0)
+        cc.last.intensity = cc.icIntensity.decompress(cc.lastIntensity(cpr), cpr) & 0xFFFF
+        cc.lastIntensity(cpr) = cc.last.intensity
+      }
+      if ((changed & 8) != 0 && on(LayerMask.ScanAngle))
         cc.last.scanAngle = cc.icScanAngle.decompress(cc.last.scanAngle,
           if (cc.prevGpsDiff) 1 else 0) & 0xFFFF
-      val udCtx = cc.last.userData >> 2
-      if (cc.mUserData(udCtx) == null) cc.mUserData(udCtx) = new SymbolModel(256)
-      cc.last.userData = dec(LUser).decodeSymbol(cc.mUserData(udCtx))
-      if ((changed & 32) != 0)
+      if (on(LayerMask.UserData)) {
+        val udCtx = cc.last.userData >> 2
+        if (cc.mUserData(udCtx) == null) cc.mUserData(udCtx) = new SymbolModel(256)
+        cc.last.userData = dec(LUser).decodeSymbol(cc.mUserData(udCtx))
+      }
+      if ((changed & 32) != 0 && on(LayerMask.PointSource))
         cc.last.psid = cc.icPsid.decompress(cc.last.psid) & 0xFFFF
       val gpsChanged = (changed & 16) != 0
-      if (gpsChanged) cc.last.gpsBits = cc.gps.readValue()
+      if (gpsChanged && on(LayerMask.GpsTime)) cc.last.gpsBits = cc.gps.readValue()
       cc.prevGpsDiff = gpsChanged
       cc.last.retByte = r | (n << 4)
       cc.last.writeTo(out, off)
@@ -511,10 +571,14 @@ object LazLayered {
       ((b(off + 2) & 0xFF) << 16) | ((b(off + 3) & 0xFF) << 24)
 
   /** Decode one layered chunk: raw seed record, per-item layer-size
-    * words, per-item layer blobs. Returns the position after the chunk. */
+    * words, per-item layer blobs. `mask` ([[LayerMask]]) selects which
+    * layers to decompress — pruned layers' decoders are never built and
+    * their byte ranges never touched; pruned fields carry the seed's
+    * value. Returns the position after the chunk. */
   def decodeChunk(data: Array[Byte], start: Int, out: Array[Byte],
                   outOff: Int, n: Int, recordLen: Int,
-                  vlr: LazDecoder.LazVlr): Int = {
+                  vlr: LazDecoder.LazVlr, mask: Int = LayerMask.All): Int = {
+    val m = mask | LayerMask.XY // layer 0 carries control flow
     System.arraycopy(data, start, out, outOff, recordLen)
     var p = start + recordLen
     val counts = layerCounts(vlr.items)
@@ -532,18 +596,29 @@ object LazLayered {
       var nir: Nir14V3Dec = null
       var bytes14: Byte14V3Dec = null
       var relRgb = 0; var relNir = 0; var relBytes = 0
+      def mkDec(o: Int): ArithmeticDecoder = {
+        val d = new ArithmeticDecoder(data, o); d.init(); d
+      }
       vlr.items.zip(layerStarts).foreach { case ((t, size, _), starts) =>
-        val decs = starts.map(o => { val d = new ArithmeticDecoder(data, o); d.init(); d })
         t match {
           case LazDecoder.ItemPoint14 =>
-            p14 = new Point14V3Dec(decs); p14.init(out, outOff + rel)
+            // POINT14 layer index i == mask bit i by construction
+            val decs = starts.zipWithIndex.map { case (o, li) =>
+              if ((m & (1 << li)) != 0) mkDec(o) else null
+            }
+            p14 = new Point14V3Dec(decs, m); p14.init(out, outOff + rel)
           case LazDecoder.ItemRgb14 =>
-            rgb = new Rgb14V3Dec(decs(0)); relRgb = rel
+            if ((m & LayerMask.Rgb) != 0) rgb = new Rgb14V3Dec(mkDec(starts(0)))
+            relRgb = rel
           case LazDecoder.ItemRgbNir14 =>
-            rgb = new Rgb14V3Dec(decs(0)); nir = new Nir14V3Dec(decs(1))
+            if ((m & LayerMask.Rgb) != 0) rgb = new Rgb14V3Dec(mkDec(starts(0)))
+            if ((m & LayerMask.Nir) != 0) nir = new Nir14V3Dec(mkDec(starts(1)))
             relRgb = rel; relNir = rel + 6
           case LazDecoder.ItemByte14 =>
-            bytes14 = new Byte14V3Dec(decs, size); relBytes = rel
+            if ((m & LayerMask.Extra) != 0) {
+              bytes14 = new Byte14V3Dec(starts.map(mkDec), size)
+            }
+            relBytes = rel
         }
         rel += size
       }

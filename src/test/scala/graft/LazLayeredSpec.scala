@@ -96,6 +96,72 @@ class LazLayeredSpec extends AnyFunSuite {
     assert(par.exceptAll(drv).isEmpty && drv.exceptAll(par).isEmpty)
   }
 
+  test("selective decompression: pruned layers are never read (gps layer corrupted, xyz decode unaffected)") {
+    import org.apache.spark.sql.functions.col
+    val rows = v14Rows(300, 11)
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 2), LasDecode.schema).orderBy("span_idx")
+    val out = java.nio.file.Files.createTempFile("graftlazsel", ".laz").toString
+    LasWriter.writeLaz(out, df, pointFormat = 8, xf, chunkSize = 100000) // one chunk
+    val full = LasDecode.asChunkSplitDataFrame(spark, out)
+      .select("span_idx", "x", "y", "z", "intensity").collect()
+      .map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getInt(4))).toSet
+
+    // locate and trash the gps-time layer's bytes: chunk = [seed record
+    // 38B][9+2 u32 layer sizes][layer blobs 0..8, rgb, nir]
+    val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(out))
+    val bb = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val h = LasDecode.readHeader(bb)
+    val chunkStart = h.dataOffset.toInt + 8
+    val sizesOff = chunkStart + 38
+    val layerSizes = (0 until 11).map(i => bb.getInt(sizesOff + 4 * i))
+    val gpsOff = sizesOff + 44 + layerSizes.take(8).sum
+    val gpsLen = layerSizes(8)
+    assert(gpsLen > 0, "gps layer unexpectedly empty")
+    (0 until gpsLen).foreach(i => bytes(gpsOff + i) = 0xAA.toByte)
+    val trashed = java.nio.file.Files.createTempFile("graftlazselx", ".laz").toString
+    java.nio.file.Files.write(java.nio.file.Paths.get(trashed), bytes)
+
+    // pruned decode (z + intensity): identical despite the trashed layer —
+    // PROOF the pruned gps stream is never even decompressed
+    val pruned = LasDecode.asChunkSplitDataFrame(spark, trashed,
+      columns = Seq("z", "intensity"))
+    assert(pruned.columns === Array("doc_id", "span_idx", "x", "y", "z", "intensity"))
+    val got = pruned.select("span_idx", "x", "y", "z", "intensity").collect()
+      .map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getInt(4))).toSet
+    assert(got === full, "pruned decode changed after corrupting an unread layer")
+    // whereas a FULL decode of the trashed file does consume the layer
+    // and yields different gps times
+    val gpsOrig = LasDecode.asChunkSplitDataFrame(spark, out)
+      .select("span_idx", "gps_time").collect().map(r => (r.getInt(0), r.getDouble(1))).toSet
+    val gpsTrash = LasDecode.asChunkSplitDataFrame(spark, trashed)
+      .select("span_idx", "gps_time").collect().map(r => (r.getInt(0), r.getDouble(1))).toSet
+    assert(gpsOrig !== gpsTrash, "corrupting the gps layer should change a full decode")
+  }
+
+  test("pipeline readers.las with columns prunes layers through the chunk-split path") {
+    import org.apache.spark.sql.functions.col
+    val rows = v14Rows(200, 13)
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 2), LasDecode.schema).orderBy("span_idx")
+    val out = java.nio.file.Files.createTempFile("graftlazselp", ".laz").toString
+    LasWriter.writeLaz(out, df, pointFormat = 8, xf, chunkSize = 60)
+    val pruned = graft.plans.Pipeline.run(spark,
+      s"""{ "pipeline": [
+         |  {"type": "readers.las", "path": "$out", "splits": 4,
+         |   "columns": ["z"]},
+         |  {"type": "filters.crop", "bounds": [-2000, -2000, 2000, 2000]}
+         |]}""".stripMargin).df
+    assert(pruned.columns === Array("doc_id", "span_idx", "x", "y", "z"))
+    val fullCrop = graft.plans.Pipeline.run(spark,
+      s"""{ "pipeline": [
+         |  {"type": "readers.las", "path": "$out", "splits": 4},
+         |  {"type": "filters.crop", "bounds": [-2000, -2000, 2000, 2000]}
+         |]}""".stripMargin).df.select("doc_id", "span_idx", "x", "y", "z")
+    assert(pruned.count() > 0)
+    assert(pruned.exceptAll(fullCrop).isEmpty && fullCrop.exceptAll(pruned).isEmpty)
+  }
+
   test("wave-packet items fail loudly, not garbage") {
     val vlr = graft.sources.laz.LazDecoder.LazVlr(3, 50000,
       Seq((graft.sources.laz.LazDecoder.ItemPoint14, 30, 3),

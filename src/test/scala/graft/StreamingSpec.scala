@@ -105,6 +105,18 @@ class StreamingSpec extends AnyFunSuite {
     StreamOps.ingestLasFiles(spark, landing, s"$tmp/out", s"$tmp/ck")
     val out2 = spark.read.parquet(s"$tmp/out")
     assert(out2.count() === 2140, s"got ${out2.count()} — old files re-ingested?")
+    // drop a FOURTH file: a LAS 1.4 LAYERED .laz (compressor 3, fmt 8)
+    // — the streaming path decompresses it with the same layered codec
+    import org.apache.spark.sql.functions.lit
+    val v14 = LasDecode.asDataFrame(spark, p1065).limit(10)
+      .withColumn("nir", lit(5)).withColumn("scanner_channel", lit(1).cast("short"))
+    LasWriter.writeLaz(s"$landing/d14.laz", v14, pointFormat = 8,
+      LasWriter.XForms(h0.sx, h0.sy, h0.sz, h0.ox, h0.oy, h0.oz))
+    StreamOps.ingestLasFiles(spark, landing, s"$tmp/out", s"$tmp/ck")
+    val out3 = spark.read.parquet(s"$tmp/out")
+    assert(out3.count() === 2150, s"got ${out3.count()} — layered delivery missed?")
+    assert(out3.filter(org.apache.spark.sql.functions.col("doc_id") === "d14.laz")
+      .count() === 10)
     val manifests = new java.io.File(tmp, "ck").listFiles()
       .filter(_.getName.startsWith("lasbatch_"))
     assert(manifests.nonEmpty, "no lineage manifests written")
