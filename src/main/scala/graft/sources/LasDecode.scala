@@ -429,6 +429,85 @@ object LasDecode {
     spark.createDataFrame(spark.sparkContext.parallelize(rows.toSeq, 4), schema)
   }
 
+  /** [[decodeRecord]]'s zero-boxing twin for the PRODUCTION ingest
+    * paths: writes the same 18 fields straight into a reusable
+    * UnsafeRowWriter and returns a materialized copy — 2 allocations
+    * per point instead of ~20 (external Row + field boxing + the
+    * RowEncoder conversion projection). At 8+ concurrent decode tasks
+    * in one JVM the allocation-rate/cache pressure of the boxed path
+    * was the measured scaling bottleneck (LazScaleTry: GC <= 5% but
+    * per-core throughput halved 2 -> 8 cores). Field-for-field
+    * identical to decodeRecord; the distributed==driver equality specs
+    * pin that. */
+  def decodeRecordUnsafe(bb: ByteBuffer, base: Int, h: LasHeader,
+                         docId: org.apache.spark.unsafe.types.UTF8String, idx: Int,
+                         w: org.apache.spark.sql.catalyst.expressions.codegen.UnsafeRowWriter)
+      : org.apache.spark.sql.catalyst.InternalRow = {
+    val fmt = h.pointFormat
+    val xi = bb.getInt(base); val yi = bb.getInt(base + 4); val zi = bb.getInt(base + 8)
+    val intensity = bb.getShort(base + 12) & 0xffff
+    w.reset()
+    w.write(0, docId)
+    w.write(1, idx)
+    w.write(2, xi * h.sx + h.ox)
+    w.write(3, yi * h.sy + h.oy)
+    w.write(4, zi * h.sz + h.oz)
+    w.write(5, intensity)
+    if (!isV14(fmt)) {
+      val flags = bb.get(base + 14) & 0xff
+      w.write(6, (flags & 0x7).toShort)
+      w.write(7, ((flags >> 3) & 0x7).toShort)
+      w.write(8, (bb.get(base + 15) & 0xff).toShort)
+      w.write(9, bb.get(base + 16).toFloat)
+      w.write(10, (bb.get(base + 17) & 0xff).toShort)
+      w.write(11, bb.getShort(base + 18) & 0xffff)
+      var off = base + 20
+      if (hasTime(fmt)) { w.write(12, bb.getDouble(off)); off += 8 } else w.write(12, 0.0)
+      if (hasColor(fmt)) {
+        w.write(13, bb.getShort(off) & 0xffff)
+        w.write(14, bb.getShort(off + 2) & 0xffff)
+        w.write(15, bb.getShort(off + 4) & 0xffff)
+      } else { w.write(13, 0); w.write(14, 0); w.write(15, 0) }
+      w.write(16, 0)
+      w.write(17, 0.toShort)
+    } else {
+      val returnInfo = bb.get(base + 14) & 0xff
+      val flags = bb.get(base + 15) & 0xff
+      w.write(6, (returnInfo & 0xf).toShort)
+      w.write(7, ((returnInfo >> 4) & 0xf).toShort)
+      w.write(8, (bb.get(base + 16) & 0xff).toShort)
+      w.write(9, (bb.getShort(base + 18) * 0.006).toFloat)
+      w.write(10, (bb.get(base + 17) & 0xff).toShort)
+      w.write(11, bb.getShort(base + 20) & 0xffff)
+      w.write(12, bb.getDouble(base + 22))
+      var off = base + 30
+      if (hasColor(fmt)) {
+        w.write(13, bb.getShort(off) & 0xffff)
+        w.write(14, bb.getShort(off + 2) & 0xffff)
+        w.write(15, bb.getShort(off + 4) & 0xffff)
+        off += 6
+      } else { w.write(13, 0); w.write(14, 0); w.write(15, 0) }
+      w.write(16, if (hasInfrared(fmt)) bb.getShort(off) & 0xffff else 0)
+      w.write(17, ((flags >> 4) & 0x3).toShort)
+    }
+    w.getRow.copy()
+  }
+
+  /** Every record of a whole-file buffer as InternalRows (laszip
+    * decompressed) — the per-file unit of the zero-boxing distributed
+    * ingest. Same clamping as [[decodeAll]]. */
+  def decodeAllUnsafe(bytes: Array[Byte], bb: ByteBuffer, h: LasHeader,
+                      docId: String): Iterator[org.apache.spark.sql.catalyst.InternalRow] = {
+    requireSingleBuffer(h)
+    val (pb, off0) = pointBytes(bytes, bb, h)
+    val present = math.max(0L, (pb.capacity() - off0) / h.recordLen)
+    val id = org.apache.spark.unsafe.types.UTF8String.fromString(docId)
+    val w = new org.apache.spark.sql.catalyst.expressions.codegen.UnsafeRowWriter(schema.length)
+    (0L until math.min(h.pointCount, present)).iterator.map { i =>
+      decodeRecordUnsafe(pb, (off0 + i * h.recordLen).toInt, h, id, i.toInt, w)
+    }
+  }
+
   /** DISTRIBUTED LAS ingest: one executor task per file via Spark's
     * binaryFile source — the natural parallel unit for LAS (each file is
     * self-describing; the reference reads files serially, one Stage per
@@ -451,14 +530,17 @@ object LasDecode {
         reader.option("pathGlobFilter", leaf).load(dir)
       else reader.load(pathGlob))
       .select("path", "content")
-    val rowEnc = org.apache.spark.sql.Encoders.row(schema)
-    bin.flatMap { r =>
+    // zero-boxing lane: decode straight to UnsafeRows (no external Row,
+    // no RowEncoder projection) — the boxed path's allocation rate was
+    // the measured multi-core decode bottleneck
+    val rdd = bin.rdd.flatMap { r =>
       val path = r.getString(0)
       val docId = path.substring(path.lastIndexOf('/') + 1)
       val bytes = r.getAs[Array[Byte]](1)
       val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
-      decodeAll(bytes, bb, readHeader(bb), docId)
-    }(rowEnc)
+      decodeAllUnsafe(bytes, bb, readHeader(bb), docId)
+    }
+    org.apache.spark.sql.graftbridge.ColumnBridge.internalCreateDataFrame(spark, rdd, schema)
   }
 
   /** Every record of a whole-file LAS/LAZ buffer as Rows (decompressing
@@ -555,9 +637,7 @@ object LasDecode {
       val count = math.min(chunk.toLong, h.pointCount - i.toLong * chunk).toInt
       (i, s, math.min(end, fileLen), count)
     }
-    val rowEnc = org.apache.spark.sql.Encoders.row(schema)
-    import spark.implicits._
-    val decoded = spark.createDataset(descs).repartition(descs.size)
+    val rdd = spark.sparkContext.parallelize(descs, descs.size)
       .flatMap { case (ci, start, end, count) =>
         val hp = new org.apache.hadoop.fs.Path(absPath)
         val fs = hp.getFileSystem(new org.apache.hadoop.conf.Configuration())
@@ -568,10 +648,14 @@ object LasDecode {
         val raw = laz.LazDecoder.decompressChunk(buf, 0, count, h.recordLen, vlr, mask)
         val rb = ByteBuffer.wrap(raw).order(ByteOrder.LITTLE_ENDIAN)
         val base = ci.toLong * chunk
+        val id = org.apache.spark.unsafe.types.UTF8String.fromString(docId)
+        val w = new org.apache.spark.sql.catalyst.expressions.codegen.UnsafeRowWriter(schema.length)
         (0 until count).iterator.map { i =>
-          decodeRecord(rb, i * h.recordLen, h, docId, (base + i).toInt)
+          decodeRecordUnsafe(rb, i * h.recordLen, h, id, (base + i).toInt, w)
         }
-      }(rowEnc)
+      }
+    val decoded =
+      org.apache.spark.sql.graftbridge.ColumnBridge.internalCreateDataFrame(spark, rdd, schema)
     if (columns.isEmpty) decoded
     else {
       val keep = (Seq("doc_id", "span_idx", "x", "y") ++ columns).distinct
@@ -613,10 +697,8 @@ object LasDecode {
     val ranges = (0 until numSplits)
       .map(i => (i * per, math.min((i + 1) * per, h.pointCount)))
       .filter { case (s, e) => e > s }
-    val rowEnc = org.apache.spark.sql.Encoders.row(schema)
     val absPath = Paths.get(path).toAbsolutePath.toString
-    import spark.implicits._
-    spark.createDataset(ranges).repartition(ranges.size)
+    val rdd = spark.sparkContext.parallelize(ranges, ranges.size)
       .flatMap { case (startRec, endRec) =>
         val hp = new org.apache.hadoop.fs.Path(absPath)
         val fs = hp.getFileSystem(new org.apache.hadoop.conf.Configuration())
@@ -626,9 +708,12 @@ object LasDecode {
         try in.readFully(h.dataOffset + startRec * h.recordLen, buf, 0, len)
         finally in.close()
         val bb = ByteBuffer.wrap(buf).order(ByteOrder.LITTLE_ENDIAN)
+        val id = org.apache.spark.unsafe.types.UTF8String.fromString(docId)
+        val w = new org.apache.spark.sql.catalyst.expressions.codegen.UnsafeRowWriter(schema.length)
         (startRec until endRec).iterator.map { i =>
-          decodeRecord(bb, ((i - startRec) * h.recordLen).toInt, h, docId, i.toInt)
+          decodeRecordUnsafe(bb, ((i - startRec) * h.recordLen).toInt, h, id, i.toInt, w)
         }
-      }(rowEnc)
+      }
+    org.apache.spark.sql.graftbridge.ColumnBridge.internalCreateDataFrame(spark, rdd, schema)
   }
 }

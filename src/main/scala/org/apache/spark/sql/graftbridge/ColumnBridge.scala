@@ -13,6 +13,16 @@ object ColumnBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** DataFrame over an RDD of InternalRows without the external-Row
+    * encoder layer (the official `internalCreateDataFrame` is
+    * private[sql]). The fast path for binary-format ingest: decoders
+    * write UnsafeRows directly instead of boxing ~20 objects per point
+    * through Row + RowEncoder. */
+  def internalCreateDataFrame(spark: SparkSession,
+                              rdd: org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow],
+                              schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.asInstanceOf[classic.SparkSession].internalCreateDataFrame(rdd, schema)
+
   /** Number of plans pinned in the session's CacheManager. Used by the
     * cache-hygiene spec: operators that `.cache()` internally must
     * release the entry before returning (a leaked entry is pinned for
