@@ -323,6 +323,7 @@ object LasDecode {
   def hasTime(fmt: Int): Boolean = fmt == 1 || (fmt >= 3 && fmt <= 5) || fmt >= 6
   def hasColor(fmt: Int): Boolean = fmt == 2 || fmt == 3 || fmt == 5 || fmt == 7 || fmt == 8 || fmt == 10
   def hasInfrared(fmt: Int): Boolean = fmt == 8 || fmt == 10
+  def hasWave(fmt: Int): Boolean = fmt == 4 || fmt == 5 || fmt == 9 || fmt == 10
   def isV14(fmt: Int): Boolean = fmt >= 6
 
   val schema: StructType = StructType(Seq(

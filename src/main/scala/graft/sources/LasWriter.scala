@@ -308,10 +308,10 @@ object LasWriter {
     val payload = graft.sources.laz.LazEncoder.vlrPayload(h.pointFormat, chunkSize, extraBytes)
     val vlrHead = ByteBuffer.allocate(54).order(ByteOrder.LITTLE_ENDIAN)
     vlrHead.putShort(0)
-    vlrHead.put("laszip encoded".padTo(16, ' ').getBytes("US-ASCII"), 0, 16)
+    vlrHead.put("laszip encoded".padTo(16, '\u0000').getBytes("US-ASCII"), 0, 16)
     vlrHead.putShort(22204.toShort)
     vlrHead.putShort(payload.length.toShort)
-    vlrHead.put("graft laszip".padTo(32, ' ').getBytes("US-ASCII"), 0, 32)
+    vlrHead.put("graft laszip".padTo(32, '\u0000').getBytes("US-ASCII"), 0, 32)
     val newDataOffset = headerSize + vlrBlock.length + 54 + payload.length
     val hdr = java.util.Arrays.copyOfRange(bytes, 0, headerSize)
     val hb = ByteBuffer.wrap(hdr).order(ByteOrder.LITTLE_ENDIAN)

@@ -8,9 +8,10 @@ import java.nio.{ByteBuffer, ByteOrder}
   *
   * Supports the original point-wise compressor (1, item versions 1) and
   * the chunked compressor (2, item versions 2) for POINT10 + GPSTIME11 +
-  * RGB12 — i.e. LAS 1.0-1.3 point formats 0-3, which is what laszip
-  * emits for them. Layered compressor 3 (LAS 1.4 formats 6+) is not
-  * implemented (fails loudly).
+  * RGB12 + WAVEPACKET13 + BYTE — i.e. LAS 1.0-1.3 point formats 0-5
+  * (+extra bytes) — and the layered chunked compressor 3
+  * ([[LazLayered]]) for LAS 1.4 formats 6-10. Variable-size chunking
+  * fails loudly.
   *
   * Clean-room implementation from the published LAZ specification /
   * Isenburg's LASzip paper (the reference consumes the format through
@@ -100,14 +101,14 @@ object LazDecoder {
       "variable-size laszip chunking (chunk_size sentinel 0xFFFFFFFF) not implemented")
     if (vlr.compressor == 3) {
       require(vlr.items.map(_._1) == vlr.items.map(_._1).intersect(
-        Seq(ItemPoint14, ItemRgb14, ItemRgbNir14, ItemByte14)) &&
+        Seq(ItemPoint14, ItemRgb14, ItemRgbNir14, ItemWavepacket14, ItemByte14)) &&
         vlr.items.nonEmpty && vlr.items.head._1 == ItemPoint14,
-        s"unsupported laszip 1.4 item set ${vlr.items} (wave packets not implemented)")
+        s"unsupported laszip 1.4 item set ${vlr.items}")
     } else {
       require(vlr.items.map(_._1) == vlr.items.map(_._1).intersect(
-        Seq(ItemPoint10, ItemGpsTime11, ItemRgb12, ItemByte)) &&
+        Seq(ItemPoint10, ItemGpsTime11, ItemRgb12, ItemWavepacket13, ItemByte)) &&
         vlr.items.nonEmpty && vlr.items.head._1 == ItemPoint10,
-        s"unsupported laszip item set ${vlr.items} (wave packets not implemented)")
+        s"unsupported laszip item set ${vlr.items}")
     }
   }
 
@@ -176,6 +177,10 @@ object LazDecoder {
           case ItemRgb12 =>
             if (v2) { val r = new LazItems.Rgb12V2(dec); (r.init _, r.read _) }
             else { val r = new LazItems.Rgb12V1(dec); (r.init _, r.read _) }
+          case ItemWavepacket13 =>
+            // wave packets only ever shipped at item version 1 — the
+            // same coder serves compressor 1 and 2 streams
+            val r = new LazItems.Wavepacket13V1(dec); (r.init _, r.read _)
           case ItemByte =>
             if (v2) { val r = new LazItems.ByteV2(dec, size); (r.init _, r.read _) }
             else { val r = new LazItems.ByteV1(dec, size); (r.init _, r.read _) }

@@ -418,27 +418,82 @@ object LazEncoder {
     }
   }
 
+  /** WAVEPACKET13 item encoder, version 1: exact mirror of
+    * [[LazItems.Wavepacket13V1]] — offset-kind symbol contexted by the
+    * previous point's kind, 32-bit-diff or raw-64 offset, last-value
+    * predicted size/return-point/parameter vector. */
+  final class Wavepacket13V1Enc(enc: ArithmeticEncoder) {
+    private val mIndex = new SymbolModel(256)
+    private val mOffsetDiff = Array.fill(4)(new SymbolModel(4))
+    private val icOffsetDiff = new IntegerCompressorEnc(enc, 32)
+    private val icPacketSize = new IntegerCompressorEnc(enc, 32)
+    private val icRetPoint = new IntegerCompressorEnc(enc, 32)
+    private val icXyz = new IntegerCompressorEnc(enc, 32, 3)
+    private[laz] val last = new LazItems.Wavepacket13
+    private val cur = new LazItems.Wavepacket13
+    private var symLast = 0
+    private var lastDiff32 = 0
+
+    def init(raw: Array[Byte], off: Int): Unit = {
+      last.setFrom(raw, off); symLast = 0; lastDiff32 = 0
+    }
+
+    def seed(w: LazItems.Wavepacket13): Unit = {
+      last.copyFrom(w); symLast = 0; lastDiff32 = 0
+    }
+
+    def write(raw: Array[Byte], off: Int): Unit = {
+      cur.setFrom(raw, off)
+      enc.encodeSymbol(mIndex, cur.index)
+      val diff64 = cur.offset - last.offset
+      val sym =
+        if (diff64 == 0L) 0
+        else if (diff64 == (last.packetSize & 0xFFFFFFFFL)) 1
+        else if (diff64 >= Int.MinValue && diff64 <= Int.MaxValue) 2
+        else 3
+      enc.encodeSymbol(mOffsetDiff(symLast), sym)
+      symLast = sym
+      sym match {
+        case 2 =>
+          icOffsetDiff.compress(lastDiff32, diff64.toInt)
+          lastDiff32 = diff64.toInt
+        case 3 =>
+          enc.writeBits(32, cur.offset & 0xFFFFFFFFL)
+          enc.writeBits(32, cur.offset >>> 32)
+        case _ => ()
+      }
+      icPacketSize.compress(last.packetSize, cur.packetSize)
+      icRetPoint.compress(last.retPoint, cur.retPoint)
+      icXyz.compress(last.xt, cur.xt, 0)
+      icXyz.compress(last.yt, cur.yt, 1)
+      icXyz.compress(last.zt, cur.zt, 2)
+      last.copyFrom(cur)
+    }
+  }
+
   /** The laszip item list this encoder emits for a point format (+
     * trailing extra bytes): POINT10-family items at version 2 under the
     * chunked compressor for formats 0-3; POINT14-family items at
     * version 3 under the layered compressor for formats 6-8. */
   def itemsFor(pointFormat: Int, extraBytes: Int): Seq[(Int, Int, Int)] = {
-    require((pointFormat >= 0 && pointFormat <= 3) ||
-      (pointFormat >= 6 && pointFormat <= 8),
-      s"laz writer supports formats 0-3 and 6-8, got $pointFormat")
+    require(pointFormat >= 0 && pointFormat <= 10,
+      s"laz writer supports formats 0-10, got $pointFormat")
     require(extraBytes >= 0, s"negative extra bytes $extraBytes")
-    if (pointFormat <= 3)
+    if (pointFormat <= 5)
       Seq((LazDecoder.ItemPoint10, 20, 2)) ++
         (if (graft.sources.LasDecode.hasTime(pointFormat)) Seq((LazDecoder.ItemGpsTime11, 8, 2)) else Nil) ++
         (if (graft.sources.LasDecode.hasColor(pointFormat)) Seq((LazDecoder.ItemRgb12, 6, 2)) else Nil) ++
+        // wave packets only ever shipped at item version 1
+        (if (graft.sources.LasDecode.hasWave(pointFormat)) Seq((LazDecoder.ItemWavepacket13, 29, 1)) else Nil) ++
         (if (extraBytes > 0) Seq((LazDecoder.ItemByte, extraBytes, 2)) else Nil)
     else
       Seq((LazDecoder.ItemPoint14, 30, 3)) ++
         (pointFormat match {
           case 7 => Seq((LazDecoder.ItemRgb14, 6, 3))
-          case 8 => Seq((LazDecoder.ItemRgbNir14, 8, 3))
+          case 8 | 10 => Seq((LazDecoder.ItemRgbNir14, 8, 3))
           case _ => Nil
         }) ++
+        (if (graft.sources.LasDecode.hasWave(pointFormat)) Seq((LazDecoder.ItemWavepacket14, 29, 3)) else Nil) ++
         (if (extraBytes > 0) Seq((LazDecoder.ItemByte14, extraBytes, 3)) else Nil)
   }
 
@@ -458,6 +513,7 @@ object LazEncoder {
     val layered = pointFormat >= 6
     val hasTime = graft.sources.LasDecode.hasTime(pointFormat)
     val hasColor = graft.sources.LasDecode.hasColor(pointFormat)
+    val hasWave = graft.sources.LasDecode.hasWave(pointFormat)
     val chunkBlobs = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
     var done = 0
     while (done < pointCount) {
@@ -476,7 +532,12 @@ object LazEncoder {
           val c = new Rgb12V2Enc(enc)
           c.init(raw, done * recordLen + rgbOff); c
         } else null
-        val extraOff = rgbOff + (if (hasColor) 6 else 0)
+        val wpOff = rgbOff + (if (hasColor) 6 else 0)
+        val wp = if (hasWave) {
+          val w = new Wavepacket13V1Enc(enc)
+          w.init(raw, done * recordLen + wpOff); w
+        } else null
+        val extraOff = wpOff + (if (hasWave) 29 else 0)
         val extra = if (extraBytes > 0) {
           val b = new ByteV2Enc(enc, extraBytes)
           b.init(raw, done * recordLen + extraOff); b
@@ -498,6 +559,7 @@ object LazEncoder {
             def u16(o: Int) = (raw(o) & 0xFF) | ((raw(o + 1) & 0xFF) << 8)
             rgb.write(u16(co), u16(co + 2), u16(co + 4))
           }
+          if (wp != null) wp.write(raw, off + wpOff)
           if (extra != null) extra.write(raw, off + extraOff)
           i += 1
         }

@@ -468,6 +468,97 @@ object LazItems {
     }
   }
 
+  /** Mutable wave-packet descriptor — the 29-byte tail of point formats
+    * 4/5/9/10: u8 descriptor index | u64 byte offset to waveform data |
+    * u32 packet size | f32 return-point location | f32 Xt | f32 Yt |
+    * f32 Zt (floats carried as raw i32 bit patterns — the codec never
+    * interprets them). */
+  final class Wavepacket13 {
+    var index = 0        // u8
+    var offset = 0L      // u64
+    var packetSize = 0   // u32 bits
+    var retPoint = 0     // f32 bits
+    var xt = 0; var yt = 0; var zt = 0 // f32 bits
+
+    def copyFrom(o: Wavepacket13): Unit = {
+      index = o.index; offset = o.offset; packetSize = o.packetSize
+      retPoint = o.retPoint; xt = o.xt; yt = o.yt; zt = o.zt
+    }
+
+    def setFrom(b: Array[Byte], off: Int): Unit = {
+      def i32(o: Int) = (b(off + o) & 0xFF) | ((b(off + o + 1) & 0xFF) << 8) |
+        ((b(off + o + 2) & 0xFF) << 16) | ((b(off + o + 3) & 0xFF) << 24)
+      index = b(off) & 0xFF
+      var v = 0L; var i = 8
+      while (i >= 1) { v = (v << 8) | (b(off + i) & 0xFF); i -= 1 }
+      offset = v
+      packetSize = i32(9); retPoint = i32(13)
+      xt = i32(17); yt = i32(21); zt = i32(25)
+    }
+
+    def writeTo(b: Array[Byte], off: Int): Unit = {
+      def i32(o: Int, v: Int): Unit = {
+        b(off + o) = v.toByte; b(off + o + 1) = (v >> 8).toByte
+        b(off + o + 2) = (v >> 16).toByte; b(off + o + 3) = (v >> 24).toByte
+      }
+      b(off) = index.toByte
+      var v = offset; var i = 1
+      while (i <= 8) { b(off + i) = (v & 0xFF).toByte; v >>>= 8; i += 1 }
+      i32(9, packetSize); i32(13, retPoint)
+      i32(17, xt); i32(21, yt); i32(25, zt)
+    }
+  }
+
+  /** WAVEPACKET13 item, spec version 1 (the only wave-packet version
+    * the point-wise AND chunked compressors define): descriptor index
+    * through a 256-symbol model; the waveform offset through a 4-way
+    * offset-kind symbol (unchanged / previous offset + previous size /
+    * 32-bit diff / raw 64) whose model is CONTEXTED by the previous
+    * point's offset-kind; packet size, return point and the Xt/Yt/Zt
+    * parameter vector each predicted by their last value through
+    * 32-bit integer decompressors. */
+  final class Wavepacket13V1(dec: ArithmeticDecoder) {
+    private val mIndex = new SymbolModel(256)
+    private val mOffsetDiff = Array.fill(4)(new SymbolModel(4))
+    private val icOffsetDiff = new IntegerDecompressor(dec, 32)
+    private val icPacketSize = new IntegerDecompressor(dec, 32)
+    private val icRetPoint = new IntegerDecompressor(dec, 32)
+    private val icXyz = new IntegerDecompressor(dec, 32, 3)
+    private[laz] val last = new Wavepacket13
+    private var symLast = 0
+    private var lastDiff32 = 0
+
+    def init(raw: Array[Byte], off: Int): Unit = {
+      last.setFrom(raw, off); symLast = 0; lastDiff32 = 0
+    }
+
+    /** Seed value state from another context's last descriptor (layered
+      * scanner-channel contexts); models stay fresh. */
+    def seed(w: Wavepacket13): Unit = {
+      last.copyFrom(w); symLast = 0; lastDiff32 = 0
+    }
+
+    def read(out: Array[Byte], off: Int): Unit = {
+      last.index = dec.decodeSymbol(mIndex)
+      symLast = dec.decodeSymbol(mOffsetDiff(symLast))
+      symLast match {
+        case 0 => () // offset unchanged
+        case 1 => last.offset += last.packetSize & 0xFFFFFFFFL // contiguous
+        case 2 =>
+          lastDiff32 = icOffsetDiff.decompress(lastDiff32)
+          last.offset += lastDiff32
+        case _ =>
+          last.offset = dec.readBits(32) | (dec.readBits(32) << 32)
+      }
+      last.packetSize = icPacketSize.decompress(last.packetSize)
+      last.retPoint = icRetPoint.decompress(last.retPoint)
+      last.xt = icXyz.decompress(last.xt, 0)
+      last.yt = icXyz.decompress(last.yt, 1)
+      last.zt = icXyz.decompress(last.zt, 2)
+      last.writeTo(out, off)
+    }
+  }
+
   /** BYTE item (extra-bytes payload), spec version 2: one 256-symbol
     * model per byte position coding the u8-folded diff from the previous
     * point's byte at the same position. */

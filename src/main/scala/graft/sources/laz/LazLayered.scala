@@ -5,8 +5,8 @@ import LazItems.{StreamingMedian5, NumberReturnMap, NumberReturnLevel, u8fold}
 import LazEncoder.{ArithmeticEncoder, IntegerCompressorEnc}
 
 /** LASzip LAYERED chunked compressor (compressor 3) for the LAS 1.4
-  * point record formats 6-8: POINT14 (item 10), RGB14 (11), RGBNIR14
-  * (12) and BYTE14 (14) at item version 3.
+  * point record formats 6-10: POINT14 (item 10), RGB14 (11), RGBNIR14
+  * (12), WAVEPACKET14 (13) and BYTE14 (14) at item version 3.
   *
   * Clean-room from the published LAZ 1.4 extension of the LASzip
   * specification. The STRUCTURE follows the spec exactly:
@@ -128,7 +128,8 @@ object LazLayered {
     val Rgb = 1 << 9
     val Nir = 1 << 10
     val Extra = 1 << 11
-    val All = (1 << 12) - 1
+    val Wavepacket = 1 << 12
+    val All = (1 << 13) - 1
 
     /** Mask for a set of point-frame column names (unknown names are
       * ignored; x/y and the identity columns ride the mandatory XY
@@ -156,6 +157,7 @@ object LazLayered {
     case (LazDecoder.ItemPoint14, _, _) => Point14Layers
     case (LazDecoder.ItemRgb14, _, _) => 1
     case (LazDecoder.ItemRgbNir14, _, _) => 2
+    case (LazDecoder.ItemWavepacket14, _, _) => 1
     case (LazDecoder.ItemByte14, size, _) => size
     case (t, _, _) => throw new IllegalArgumentException(s"laszip 1.4 item $t unsupported")
   }
@@ -508,6 +510,52 @@ object LazLayered {
     }
   }
 
+  /** WAVEPACKET14: one layer; per-scanner-channel contexts each running
+    * the proven [[LazItems.Wavepacket13V1]] coder, value state seeded
+    * from the previously active context on first touch (models fresh) —
+    * the same context discipline as RGB14. */
+  final class Wavepacket14V3Dec(dec: ArithmeticDecoder) {
+    private val ctxs = new Array[LazItems.Wavepacket13V1](4)
+    private def ctx(c: Int, seedC: Int): LazItems.Wavepacket13V1 = {
+      if (ctxs(c) == null) {
+        ctxs(c) = new LazItems.Wavepacket13V1(dec)
+        val src = ctxs(seedC)
+        if (src != null && c != seedC) ctxs(c).seed(src.last)
+      }
+      ctxs(c)
+    }
+    private var lastC = 0
+    def init(raw: Array[Byte], off: Int, channel: Int): Unit = {
+      lastC = channel
+      ctx(channel, channel).init(raw, off)
+    }
+    def read(out: Array[Byte], off: Int, channel: Int): Unit = {
+      val c = ctx(channel, lastC); lastC = channel
+      c.read(out, off)
+    }
+  }
+
+  final class Wavepacket14V3Enc(enc: ArithmeticEncoder) {
+    private val ctxs = new Array[LazEncoder.Wavepacket13V1Enc](4)
+    private def ctx(c: Int, seedC: Int): LazEncoder.Wavepacket13V1Enc = {
+      if (ctxs(c) == null) {
+        ctxs(c) = new LazEncoder.Wavepacket13V1Enc(enc)
+        val src = ctxs(seedC)
+        if (src != null && c != seedC) ctxs(c).seed(src.last)
+      }
+      ctxs(c)
+    }
+    private var lastC = 0
+    def init(raw: Array[Byte], off: Int, channel: Int): Unit = {
+      lastC = channel
+      ctx(channel, channel).init(raw, off)
+    }
+    def write(raw: Array[Byte], off: Int, channel: Int): Unit = {
+      val c = ctx(channel, lastC); lastC = channel
+      c.write(raw, off)
+    }
+  }
+
   /** BYTE14: one layer per extra byte; per-channel-context 256-symbol
     * diff models per byte position. */
   final class Byte14V3Dec(dec: Array[ArithmeticDecoder], n: Int) {
@@ -594,8 +642,9 @@ object LazLayered {
       var p14: Point14V3Dec = null
       var rgb: Rgb14V3Dec = null
       var nir: Nir14V3Dec = null
+      var wp: Wavepacket14V3Dec = null
       var bytes14: Byte14V3Dec = null
-      var relRgb = 0; var relNir = 0; var relBytes = 0
+      var relRgb = 0; var relNir = 0; var relWp = 0; var relBytes = 0
       def mkDec(o: Int): ArithmeticDecoder = {
         val d = new ArithmeticDecoder(data, o); d.init(); d
       }
@@ -614,6 +663,9 @@ object LazLayered {
             if ((m & LayerMask.Rgb) != 0) rgb = new Rgb14V3Dec(mkDec(starts(0)))
             if ((m & LayerMask.Nir) != 0) nir = new Nir14V3Dec(mkDec(starts(1)))
             relRgb = rel; relNir = rel + 6
+          case LazDecoder.ItemWavepacket14 =>
+            if ((m & LayerMask.Wavepacket) != 0) wp = new Wavepacket14V3Dec(mkDec(starts(0)))
+            relWp = rel
           case LazDecoder.ItemByte14 =>
             if ((m & LayerMask.Extra) != 0) {
               bytes14 = new Byte14V3Dec(starts.map(mkDec), size)
@@ -627,6 +679,7 @@ object LazLayered {
       val ch0 = seed.channel
       if (rgb != null) rgb.init(out, outOff + relRgb, ch0)
       if (nir != null) nir.init(out, outOff + relNir, ch0)
+      if (wp != null) wp.init(out, outOff + relWp, ch0)
       if (bytes14 != null) bytes14.init(out, outOff + relBytes, ch0)
       var i = 1
       while (i < n) {
@@ -634,6 +687,7 @@ object LazLayered {
         val ch = p14.read(out, po)
         if (rgb != null) rgb.read(out, po + relRgb, ch)
         if (nir != null) nir.read(out, po + relNir, ch)
+        if (wp != null) wp.read(out, po + relWp, ch)
         if (bytes14 != null) bytes14.read(out, po + relBytes, ch)
         i += 1
       }
@@ -652,8 +706,9 @@ object LazLayered {
     var p14: Point14V3Enc = null
     var rgb: Rgb14V3Enc = null
     var nir: Nir14V3Enc = null
+    var wp: Wavepacket14V3Enc = null
     var bytes14: Byte14V3Enc = null
-    var relRgb = 0; var relNir = 0; var relBytes = 0
+    var relRgb = 0; var relNir = 0; var relWp = 0; var relBytes = 0
     items.zip(encs).foreach { case ((t, size, _), es) =>
       t match {
         case LazDecoder.ItemPoint14 =>
@@ -663,6 +718,8 @@ object LazLayered {
         case LazDecoder.ItemRgbNir14 =>
           rgb = new Rgb14V3Enc(es(0)); nir = new Nir14V3Enc(es(1))
           relRgb = rel; relNir = rel + 6
+        case LazDecoder.ItemWavepacket14 =>
+          wp = new Wavepacket14V3Enc(es(0)); relWp = rel
         case LazDecoder.ItemByte14 =>
           bytes14 = new Byte14V3Enc(es, size); relBytes = rel
         case other => throw new IllegalArgumentException(s"laszip 1.4 item $other")
@@ -674,6 +731,7 @@ object LazLayered {
     val ch0 = seed.channel
     if (rgb != null) rgb.init(raw, chunkOff + relRgb, ch0)
     if (nir != null) nir.init(raw, chunkOff + relNir, ch0)
+    if (wp != null) wp.init(raw, chunkOff + relWp, ch0)
     if (bytes14 != null) bytes14.init(raw, chunkOff + relBytes, ch0)
     val pt = new Point14
     def u16(o: Int) = (raw(o) & 0xFF) | ((raw(o + 1) & 0xFF) << 8)
@@ -684,6 +742,7 @@ object LazLayered {
       val ch = p14.write(pt)
       if (rgb != null) rgb.write(u16(po + relRgb), u16(po + relRgb + 2), u16(po + relRgb + 4), ch)
       if (nir != null) nir.write(u16(po + relNir), ch)
+      if (wp != null) wp.write(raw, po + relWp, ch)
       if (bytes14 != null) bytes14.write(raw, po + relBytes, ch)
       i += 1
     }

@@ -162,16 +162,6 @@ class LazLayeredSpec extends AnyFunSuite {
     assert(pruned.exceptAll(fullCrop).isEmpty && fullCrop.exceptAll(pruned).isEmpty)
   }
 
-  test("wave-packet items fail loudly, not garbage") {
-    val vlr = graft.sources.laz.LazDecoder.LazVlr(3, 50000,
-      Seq((graft.sources.laz.LazDecoder.ItemPoint14, 30, 3),
-        (graft.sources.laz.LazDecoder.ItemWavepacket14, 29, 3)))
-    val ex = intercept[IllegalArgumentException] {
-      graft.sources.laz.LazDecoder.requireSupported(vlr)
-    }
-    assert(ex.getMessage.contains("wave packets"))
-  }
-
   test("variable-size chunking sentinel fails loudly") {
     val vlr = graft.sources.laz.LazDecoder.LazVlr(2, 0xFFFFFFFFL,
       Seq((graft.sources.laz.LazDecoder.ItemPoint10, 20, 2)))
