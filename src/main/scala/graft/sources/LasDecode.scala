@@ -609,37 +609,47 @@ object LasDecode {
     val vlr = lazVlrOf(bb).getOrElse(
       throw new IllegalArgumentException(s"$path is not a LASzip stream"))
     val fileLen = Files.size(Paths.get(absPath))
-    require(vlr.compressor != 2 || vlr.chunkSize < 0xFFFFFFFFL,
-      "variable-size laszip chunking (chunk_size sentinel 0xFFFFFFFF) not implemented")
+    val variable = vlr.compressor >= 2 && vlr.chunkSize == laz.LazDecoder.VarChunkSentinel
     val chunk =
-      if (vlr.compressor >= 2 && vlr.chunkSize > 0) vlr.chunkSize.toInt
+      if (vlr.compressor >= 2 && !variable && vlr.chunkSize > 0) vlr.chunkSize.toInt
       else h.pointCount.toInt
-    val nChunks = math.max(1, ((h.pointCount + chunk - 1) / chunk).toInt)
+    val nChunksFixed = math.max(1, ((h.pointCount + chunk - 1) / chunk).toInt)
     val tableOff = if (vlr.compressor >= 2) bb.getLong(h.dataOffset.toInt) else fileLen
-    val starts: Seq[Long] =
-      if (vlr.compressor >= 2 && nChunks > 1) {
-        // read ONLY the table region — never the chunk data
-        require(tableOff > 0 && tableOff + 8 <= fileLen,
-          s"laszip chunk table offset $tableOff outside $path")
-        val table = {
-          val in = Files.newInputStream(Paths.get(absPath))
-          try { in.skipNBytes(tableOff); in.readNBytes((fileLen - tableOff).toInt) }
-          finally in.close()
-        }
-        laz.LazDecoder.chunkSizesFromTable(table, nChunks - 1)
-          .scanLeft(h.dataOffset + 8)(_ + _)
-      } else if (vlr.compressor >= 2) Seq(h.dataOffset + 8)
-      else Seq(h.dataOffset)
+    def tableBytes(): Array[Byte] = {
+      // read ONLY the table region — never the chunk data
+      require(tableOff > 0 && tableOff + 8 <= fileLen,
+        s"laszip chunk table offset $tableOff outside $path")
+      val in = Files.newInputStream(Paths.get(absPath))
+      try { in.skipNBytes(tableOff); in.readNBytes((fileLen - tableOff).toInt) }
+      finally in.close()
+    }
+    val (starts: Seq[Long], counts: Seq[Int]) =
+      if (variable) {
+        // variable-size chunking: boundaries live in the (count, bytes)
+        // pairs of the chunk table
+        val ct = laz.LazDecoder.chunkTableFromBytes(tableBytes(), variable = true, 0)
+        require(ct.counts.map(_.toLong).sum == h.pointCount,
+          s"variable chunk counts sum != point count in $path")
+        if (ct.sizes.isEmpty) (Seq(h.dataOffset + 8), Seq(0))
+        else (ct.sizes.init.map(_.toLong).scanLeft(h.dataOffset + 8)(_ + _).toSeq,
+          ct.counts.toSeq)
+      } else if (vlr.compressor >= 2 && nChunksFixed > 1) {
+        (laz.LazDecoder.chunkSizesFromTable(tableBytes(), nChunksFixed - 1)
+          .map(_.toLong).scanLeft(h.dataOffset + 8)(_ + _),
+          (0 until nChunksFixed)
+            .map(i => math.min(chunk.toLong, h.pointCount - i.toLong * chunk).toInt))
+      } else if (vlr.compressor >= 2) (Seq(h.dataOffset + 8), Seq(h.pointCount.toInt))
+      else (Seq(h.dataOffset), Seq(h.pointCount.toInt))
     val chunksEnd = if (tableOff > 0 && tableOff <= fileLen) tableOff else fileLen
+    val bases = counts.map(_.toLong).scanLeft(0L)(_ + _)
     val descs = starts.zipWithIndex.map { case (s, i) =>
       // +8 slack: the arithmetic decoder primes lookahead bytes past a
       // chunk's own payload
       val end = (if (i + 1 < starts.size) starts(i + 1) else chunksEnd) + 8
-      val count = math.min(chunk.toLong, h.pointCount - i.toLong * chunk).toInt
-      (i, s, math.min(end, fileLen), count)
+      (i, s, math.min(end, fileLen), counts(i), bases(i))
     }
     val rdd = spark.sparkContext.parallelize(descs, descs.size)
-      .flatMap { case (ci, start, end, count) =>
+      .flatMap { case (ci, start, end, count, base) =>
         val hp = new org.apache.hadoop.fs.Path(absPath)
         val fs = hp.getFileSystem(new org.apache.hadoop.conf.Configuration())
         val in = fs.open(hp)
@@ -648,7 +658,6 @@ object LasDecode {
         finally in.close()
         val raw = laz.LazDecoder.decompressChunk(buf, 0, count, h.recordLen, vlr, mask)
         val rb = ByteBuffer.wrap(raw).order(ByteOrder.LITTLE_ENDIAN)
-        val base = ci.toLong * chunk
         val id = org.apache.spark.unsafe.types.UTF8String.fromString(docId)
         val w = new org.apache.spark.sql.catalyst.expressions.codegen.UnsafeRowWriter(schema.length)
         (0 until count).iterator.map { i =>

@@ -290,7 +290,8 @@ object LasWriter {
     * layout ride a BYTE (formats 0-3) / BYTE14 (6-8) item. The inverse
     * of [[LasDecode]]'s transparent decompression — together they are
     * las2las's compress/decompress round. */
-  def lasToLaz(bytes: Array[Byte], chunkSize: Int = 50000): Array[Byte] = {
+  def lasToLaz(bytes: Array[Byte], chunkSize: Int = 50000,
+               chunkCounts: Seq[Int] = null): Array[Byte] = {
     val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
     val h = LasDecode.readHeader(bb)
     require((bytes(104) & 0xC0) == 0, "input is already laszip-compressed")
@@ -305,7 +306,8 @@ object LasWriter {
     val raw = java.util.Arrays.copyOfRange(bytes,
       h.dataOffset.toInt, h.dataOffset.toInt + present * h.recordLen)
     val vlrBlock = java.util.Arrays.copyOfRange(bytes, headerSize, h.dataOffset.toInt)
-    val payload = graft.sources.laz.LazEncoder.vlrPayload(h.pointFormat, chunkSize, extraBytes)
+    val payload = graft.sources.laz.LazEncoder.vlrPayload(
+      h.pointFormat, chunkSize, extraBytes, variable = chunkCounts != null)
     val vlrHead = ByteBuffer.allocate(54).order(ByteOrder.LITTLE_ENDIAN)
     vlrHead.putShort(0)
     vlrHead.put("laszip encoded".padTo(16, '\u0000').getBytes("US-ASCII"), 0, 16)
@@ -319,7 +321,8 @@ object LasWriter {
     hb.putInt(100, nVlrs + 1)
     hb.put(104, (hdr(104) | 0x80).toByte)
     val block = graft.sources.laz.LazEncoder.compress(
-      raw, present, h.recordLen, h.pointFormat, chunkSize, newDataOffset.toLong, extraBytes)
+      raw, present, h.recordLen, h.pointFormat, chunkSize, newDataOffset.toLong,
+      extraBytes, chunkCounts)
     val out = new ByteArrayOutputStream(newDataOffset + block.length)
     out.write(hdr); out.write(vlrBlock); out.write(vlrHead.array()); out.write(payload)
     out.write(block)

@@ -71,18 +71,72 @@ object LazDecoder {
   /** Per-chunk compressed byte counts from the chunk-table BYTES alone
     * (u32 version, u32 count, entropy-coded deltas) — so a driver can
     * read just the table region of a huge file, never the chunks. */
-  def chunkSizesFromTable(table: Array[Byte], needed: Int): Seq[Int] = {
+  def chunkSizesFromTable(table: Array[Byte], needed: Int): Seq[Int] =
+    chunkTableFromBytes(table, variable = false, needed).sizes.toSeq
+
+  /** laszip's chunk_size sentinel for VARIABLE-size chunking: the
+    * writer picks each chunk's point count (spatially coherent groups,
+    * COPC-style layouts) and the chunk table carries (count, bytes)
+    * pairs instead of bytes alone. */
+  val VarChunkSentinel = 0xFFFFFFFFL
+
+  final case class ChunkTable(counts: Array[Int], sizes: Array[Int])
+
+  /** Decode the chunk table: u32 version(0), u32 stored-entry count,
+    * then one IC(32,2)-coded entry per chunk — variable tables
+    * interleave the point count (context 0, predicted by the previous
+    * count) before each byte size (context 1, predicted by the previous
+    * size); fixed tables carry sizes only and `counts` is left empty.
+    * `needed` caps how many entries are decoded for fixed tables (the
+    * last chunk's size is never required); variable tables always
+    * decode every stored entry (the counts define the boundaries). */
+  def chunkTableFromBytes(table: Array[Byte], variable: Boolean,
+                          needed: Int): ChunkTable = {
     val tb = ByteBuffer.wrap(table).order(ByteOrder.LITTLE_ENDIAN)
     val version = tb.getInt(0)
     val stored = tb.getInt(4)
     require(version == 0, s"laszip chunk table version $version")
-    require(stored >= needed, s"chunk table holds $stored entries, need $needed")
+    val n = if (variable) stored else needed
+    require(stored >= n, s"chunk table holds $stored entries, need $n")
     val dec = new ArithmeticDecoder(table, 8)
     dec.init()
     val ic = new IntegerDecompressor(dec, 32, 2)
-    var prev = 0
-    (0 until needed).map { _ =>
-      val s = ic.decompress(prev, 1); prev = s; s
+    val counts = if (variable) new Array[Int](n) else Array.emptyIntArray
+    val sizes = new Array[Int](n)
+    var prevC = 0
+    var prevS = 0
+    var i = 0
+    while (i < n) {
+      if (variable) { prevC = ic.decompress(prevC, 0); counts(i) = prevC }
+      prevS = ic.decompress(prevS, 1); sizes(i) = prevS
+      i += 1
+    }
+    ChunkTable(counts, sizes)
+  }
+
+  /** Every chunk's (start offset, point count) for a compressor-2/3
+    * stream — fixed-size chunking derives counts from the VLR chunk
+    * size; variable chunking (sentinel) reads them from the table. */
+  def chunkBoundaries(data: Array[Byte], dataOffset: Int, pointCount: Int,
+                      vlr: LazVlr): (Seq[Int], Seq[Int]) = {
+    val first = dataOffset + 8
+    if (vlr.chunkSize == VarChunkSentinel) {
+      val bb = ByteBuffer.wrap(data).order(ByteOrder.LITTLE_ENDIAN)
+      val tableOff = bb.getLong(dataOffset)
+      require(tableOff > 0 && tableOff + 8 <= data.length,
+        s"laszip chunk table offset $tableOff outside file (truncated stream?)")
+      val ct = chunkTableFromBytes(
+        data.slice(tableOff.toInt, data.length), variable = true, 0)
+      require(ct.counts.map(_.toLong).sum == pointCount,
+        s"variable chunk counts sum ${ct.counts.map(_.toLong).sum} != point count $pointCount")
+      if (ct.sizes.isEmpty) (Seq.empty, Seq.empty)
+      else (ct.sizes.init.scanLeft(first)(_ + _).toSeq, ct.counts.toSeq)
+    } else {
+      val chunk = if (vlr.chunkSize > 0) vlr.chunkSize.toInt else pointCount
+      val nChunks = math.max(1, (pointCount + chunk - 1) / chunk)
+      val counts = (0 until nChunks)
+        .map(i => math.min(chunk.toLong, pointCount - i.toLong * chunk).toInt)
+      (chunkStarts(data, dataOffset, nChunks), counts)
     }
   }
 
@@ -95,10 +149,11 @@ object LazDecoder {
   def requireSupported(vlr: LazVlr): Unit = {
     require(vlr.compressor >= 1 && vlr.compressor <= 3,
       s"unsupported laszip compressor ${vlr.compressor}")
-    // chunk_size 0xFFFFFFFF is laszip's variable-size-chunking sentinel —
-    // without this guard .toInt becomes -1 and the decode loop runs away
-    require(vlr.compressor == 1 || vlr.chunkSize < 0xFFFFFFFFL,
-      "variable-size laszip chunking (chunk_size sentinel 0xFFFFFFFF) not implemented")
+    // chunk_size 0xFFFFFFFF is the variable-size-chunking sentinel —
+    // legal for the chunked compressors (boundaries come from the chunk
+    // table), meaningless for the unchunked compressor 1
+    require(vlr.compressor >= 2 || vlr.chunkSize < VarChunkSentinel,
+      "variable-size chunk sentinel on the unchunked compressor 1")
     if (vlr.compressor == 3) {
       require(vlr.items.map(_._1) == vlr.items.map(_._1).intersect(
         Seq(ItemPoint14, ItemRgb14, ItemRgbNir14, ItemWavepacket14, ItemByte14)) &&
@@ -116,19 +171,14 @@ object LazDecoder {
                  recordLen: Int, vlr: LazVlr): Array[Byte] = {
     requireSupported(vlr)
     val out = new Array[Byte](pointCount * recordLen)
-    val chunk =
-      if (vlr.compressor >= 2 && vlr.chunkSize > 0) vlr.chunkSize.toInt
-      else pointCount // compressor 1: one unchunked stream
-    val nChunks = math.max(1, (pointCount + chunk - 1) / chunk)
-    val starts =
-      if (vlr.compressor >= 2) chunkStarts(data, dataOffset, nChunks)
-      else Seq(dataOffset)
+    val (starts, counts) =
+      if (vlr.compressor >= 2) chunkBoundaries(data, dataOffset, pointCount, vlr)
+      else (Seq(dataOffset), Seq(pointCount)) // compressor 1: one unchunked stream
     var decoded = 0
     var ci = 0
     while (decoded < pointCount) {
-      val inChunk = math.min(chunk, pointCount - decoded)
-      decodeChunk(data, starts(ci), out, decoded * recordLen, inChunk, recordLen, vlr)
-      decoded += inChunk
+      decodeChunk(data, starts(ci), out, decoded * recordLen, counts(ci), recordLen, vlr)
+      decoded += counts(ci)
       ci += 1
     }
     out

@@ -506,18 +506,28 @@ object LazEncoder {
     * tail past the standard layout. Returns the block bytes. */
   def compress(raw: Array[Byte], pointCount: Int, recordLen: Int,
                pointFormat: Int, chunkSize: Int, dataOffset: Long,
-               extraBytes: Int = 0): Array[Byte] = {
+               extraBytes: Int = 0, chunkCounts: Seq[Int] = null): Array[Byte] = {
     val items = itemsFor(pointFormat, extraBytes)
     require(items.map(_._2).sum == recordLen,
       s"item sizes ${items.map(_._2).sum} != record length $recordLen")
+    val variable = chunkCounts != null
+    if (variable) {
+      require(chunkCounts.forall(_ > 0), "variable chunk counts must be positive")
+      require(chunkCounts.map(_.toLong).sum == pointCount,
+        s"variable chunk counts sum ${chunkCounts.map(_.toLong).sum} != point count $pointCount")
+    }
+    val counts: Seq[Int] =
+      if (variable) chunkCounts
+      else (0 until math.max(1, (pointCount + chunkSize - 1) / chunkSize))
+        .map(i => math.min(chunkSize.toLong, pointCount - i.toLong * chunkSize).toInt)
+        .filter(_ > 0)
     val layered = pointFormat >= 6
     val hasTime = graft.sources.LasDecode.hasTime(pointFormat)
     val hasColor = graft.sources.LasDecode.hasColor(pointFormat)
     val hasWave = graft.sources.LasDecode.hasWave(pointFormat)
     val chunkBlobs = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
     var done = 0
-    while (done < pointCount) {
-      val n = math.min(chunkSize, pointCount - done)
+    for (n <- counts) {
       if (layered) {
         chunkBlobs += LazLayered.encodeChunk(raw, done * recordLen, n, recordLen, items)
       } else {
@@ -568,12 +578,18 @@ object LazEncoder {
       }
       done += n
     }
-    // chunk table: u32 version 0, u32 count, then IC(32,2)-coded sizes
+    // chunk table: u32 version 0, u32 count, then IC(32,2)-coded sizes —
+    // variable tables interleave each chunk's point count (context 0)
+    // before its byte size (context 1)
     val tenc = new ArithmeticEncoder
     tenc.init()
     val tic = new IntegerCompressorEnc(tenc, 32, 2)
+    var prevC = 0
     var prev = 0
-    chunkBlobs.foreach { b => tic.compress(prev, b.length, 1); prev = b.length }
+    chunkBlobs.zip(counts).foreach { case (b, c) =>
+      if (variable) { tic.compress(prevC, c, 0); prevC = c }
+      tic.compress(prev, b.length, 1); prev = b.length
+    }
     tenc.done()
     val tableBody = tenc.bytes
     val chunksLen = chunkBlobs.map(_.length).sum
@@ -589,7 +605,8 @@ object LazEncoder {
 
   /** The "laszip encoded" VLR payload (record 22204): compressor 2 for
     * formats 0-3, layered compressor 3 for formats 6-8. */
-  def vlrPayload(pointFormat: Int, chunkSize: Int, extraBytes: Int = 0): Array[Byte] = {
+  def vlrPayload(pointFormat: Int, chunkSize: Int, extraBytes: Int = 0,
+                 variable: Boolean = false): Array[Byte] = {
     val items = itemsFor(pointFormat, extraBytes)
     val layered = pointFormat >= 6
     val bb = java.nio.ByteBuffer.allocate(34 + 6 * items.size)
@@ -598,7 +615,7 @@ object LazEncoder {
     bb.putShort(0)            // coder: arithmetic
     bb.put((if (layered) 3 else 2).toByte); bb.put(0.toByte); bb.putShort(0) // version
     bb.putInt(0)              // options
-    bb.putInt(chunkSize)
+    bb.putInt(if (variable) -1 else chunkSize) // -1 = variable-size sentinel
     bb.putLong(-1L)           // num special evlrs
     bb.putLong(-1L)           // offset special evlrs
     bb.putShort(items.size.toShort)

@@ -162,9 +162,64 @@ class LazLayeredSpec extends AnyFunSuite {
     assert(pruned.exceptAll(fullCrop).isEmpty && fullCrop.exceptAll(pruned).isEmpty)
   }
 
-  test("variable-size chunking sentinel fails loudly") {
-    val vlr = graft.sources.laz.LazDecoder.LazVlr(2, 0xFFFFFFFFL,
-      Seq((graft.sources.laz.LazDecoder.ItemPoint10, 20, 2)))
+  // ---- variable-size chunking (chunk_size sentinel 0xFFFFFFFF) ---------
+
+  test("variable-size chunking round-trips bit-for-bit and decodes chunk-parallel (compressor 2)") {
+    val src = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$RefData/las/interesting.las")) // 1065 pts
+    val counts = Seq(400, 65, 600)
+    val laz = LasWriter.lasToLaz(src, chunkCounts = counts)
+    val out = java.nio.file.Files.createTempFile("graftlazvar", ".laz").toString
+    java.nio.file.Files.write(java.nio.file.Paths.get(out), laz)
+    // sentinel is really in the VLR
+    val zb = java.nio.ByteBuffer.wrap(laz).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val vlr = graft.sources.laz.LazDecoder.parseVlr(LasDecode.readVlrs(zb)
+      .find(v => v.userId == "laszip encoded" && v.recordId == 22204).get.payload)
+    assert(vlr.chunkSize === graft.sources.laz.LazDecoder.VarChunkSentinel)
+    // driver decode: bit-for-bit vs the uncompressed original
+    val (h0, rows0) = LasDecode.readPoints(s"$RefData/las/interesting.las")
+    val (h1, rows1) = LasDecode.readPoints(out)
+    assert(h1.pointCount === h0.pointCount)
+    rows0.zip(rows1).zipWithIndex.foreach { case ((a, b), i) =>
+      assert(a === b, s"point $i differs through variable chunking")
+    }
+    // chunk-parallel decode: one task per VARIABLE chunk, same rows
+    val par = LasDecode.asChunkSplitDataFrame(spark, out)
+    assert(par.rdd.getNumPartitions === counts.size, "one task per variable chunk")
+    val drv = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows1, 2), LasDecode.schema)
+    assert(par.count() === 1065)
+    assert(par.exceptAll(drv).isEmpty && drv.exceptAll(par).isEmpty)
+  }
+
+  test("variable-size chunking round-trips for the layered compressor 3") {
+    val rows = v14Rows(500, 17)
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 2), LasDecode.schema).orderBy("span_idx")
+    val las = java.nio.file.Files.createTempFile("graftlazvl", ".las").toString
+    LasWriter.write(las, df, pointFormat = 8, xf)
+    val src = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(las))
+    val counts = Seq(123, 7, 250, 120)
+    val laz = LasWriter.lasToLaz(src, chunkCounts = counts)
+    val out = java.nio.file.Files.createTempFile("graftlazvl", ".laz").toString
+    java.nio.file.Files.write(java.nio.file.Paths.get(out), laz)
+    val (h0, rows0) = LasDecode.readPoints(las)
+    val (h1, rows1) = LasDecode.readPoints(out)
+    assert(h1.pointCount === h0.pointCount)
+    rows0.zip(rows1).zipWithIndex.foreach { case ((a, b), i) =>
+      assert(a === b, s"point $i differs through layered variable chunking")
+    }
+    val par = LasDecode.asChunkSplitDataFrame(spark, out)
+    assert(par.rdd.getNumPartitions === counts.size)
+    assert(par.count() === 500)
+    val drv = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows1, 2), LasDecode.schema)
+    assert(par.exceptAll(drv).isEmpty && drv.exceptAll(par).isEmpty)
+  }
+
+  test("variable-size sentinel on the unchunked compressor 1 still fails loudly") {
+    val vlr = graft.sources.laz.LazDecoder.LazVlr(1, 0xFFFFFFFFL,
+      Seq((graft.sources.laz.LazDecoder.ItemPoint10, 20, 1)))
     val ex = intercept[IllegalArgumentException] {
       graft.sources.laz.LazDecoder.requireSupported(vlr)
     }
