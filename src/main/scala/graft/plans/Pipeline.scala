@@ -137,8 +137,11 @@ object Pipeline {
         st.int("splits") match {
           case Some(_) if LasDecode.isLaszip(path) =>
             // compressed records aren't offset-splittable; LAZ chunks
-            // are the natural parallel unit instead
-            LasDecode.asChunkSplitDataFrame(spark, path, columns = colsCfg)
+            // are the natural parallel unit instead. "bounds" prunes
+            // whole chunks via the spatial sidecar before any read
+            // (exactness still comes from a downstream filters.crop)
+            LasDecode.asChunkSplitDataFrame(spark, path, columns = colsCfg,
+              bounds = st.dbls("bounds").getOrElse(Nil))
           case Some(n) => project(LasDecode.asSplitDataFrame(spark, path, n))
           case None if st.bool("distributed").getOrElse(false) =>
             project(LasDecode.asDistributedDataFrame(spark, path))

@@ -578,9 +578,21 @@ object LasDecode {
     * tens of thousands of parallel units instead of one pinned
     * executor. span_idx stays the absolute record index, so chunk
     * parallelism never changes the decoded frame. */
+  /** One spatially-chunked-archive sidecar entry
+    * ([[LasWriter.writeLazTiled]]): the chunk's point count and padded
+    * bbox. */
+  final case class ChunkBox(count: Int, minx: Double, miny: Double,
+                            maxx: Double, maxy: Double)
+
+  def chunkBoxesOf(json: String): Seq[ChunkBox] = {
+    implicit val fmts: org.json4s.Formats = org.json4s.DefaultFormats
+    org.json4s.jackson.JsonMethods.parse(json).extract[List[ChunkBox]]
+  }
+
   def asChunkSplitDataFrame(spark: SparkSession, path: String,
                             docId: String = "las",
-                            columns: Seq[String] = Nil): DataFrame = {
+                            columns: Seq[String] = Nil,
+                            bounds: Seq[Double] = Nil): DataFrame = {
     // SELECTIVE DECOMPRESSION: on layered (compressor 3) streams a
     // non-empty `columns` prunes whole entropy layers inside the codec —
     // an x/y/z query decodes 2 of 9+ layers and never touches gps/rgb/
@@ -642,13 +654,31 @@ object LasDecode {
       else (Seq(h.dataOffset), Seq(h.pointCount.toInt))
     val chunksEnd = if (tableOff > 0 && tableOff <= fileLen) tableOff else fileLen
     val bases = counts.map(_.toLong).scanLeft(0L)(_ + _)
-    val descs = starts.zipWithIndex.map { case (s, i) =>
+    val allDescs = starts.zipWithIndex.map { case (s, i) =>
       // +8 slack: the arithmetic decoder primes lookahead bytes past a
       // chunk's own payload
       val end = (if (i + 1 < starts.size) starts(i + 1) else chunksEnd) + 8
       (i, s, math.min(end, fileLen), counts(i), bases(i))
     }
-    val rdd = spark.sparkContext.parallelize(descs, descs.size)
+    // CHUNK-LEVEL SPATIAL PRUNING: a `bounds` query box against a
+    // spatially-chunked archive ([[LasWriter.writeLazTiled]] sidecar)
+    // drops whole chunks before any byte is read or decompressed.
+    // Pruning is an optimization, never a filter: kept chunks may hold
+    // out-of-box points (callers crop exactly downstream), and a
+    // missing or stale sidecar falls back to decoding every chunk.
+    val descs =
+      if (bounds.size == 4 && Files.exists(Paths.get(absPath + ".chunks.json"))) {
+        val boxes = chunkBoxesOf(Files.readString(Paths.get(absPath + ".chunks.json")))
+        if (boxes.size == allDescs.size &&
+            boxes.map(_.count.toLong).sum == h.pointCount) {
+          val Seq(qminx, qminy, qmaxx, qmaxy) = bounds
+          allDescs.zip(boxes).collect {
+            case (d, b) if b.maxx >= qminx && b.minx <= qmaxx &&
+              b.maxy >= qminy && b.miny <= qmaxy => d
+          }
+        } else allDescs // stale sidecar: correct, just unpruned
+      } else allDescs
+    val rdd = spark.sparkContext.parallelize(descs, math.max(1, descs.size))
       .flatMap { case (ci, start, end, count, base) =>
         val hp = new org.apache.hadoop.fs.Path(absPath)
         val fs = hp.getFileSystem(new org.apache.hadoop.conf.Configuration())

@@ -232,10 +232,12 @@ object LasWriter {
     * the chunked compressed block with its chunk table. Shared by the
     * single-file and executor-sharded compressed writers. */
   private def lazContainerBytes(raw: Array[Byte], pointFormat: Int, xf: XForms,
-                                s: Summary, chunkSize: Int): Array[Byte] = {
+                                s: Summary, chunkSize: Int,
+                                chunkCounts: Seq[Int] = null): Array[Byte] = {
     val rl = recordLen(pointFormat)
     val hdr = headerBytes(pointFormat, xf, s)
-    val vlrPayload = graft.sources.laz.LazEncoder.vlrPayload(pointFormat, chunkSize)
+    val vlrPayload = graft.sources.laz.LazEncoder.vlrPayload(
+      pointFormat, chunkSize, variable = chunkCounts != null)
     val dataOffset = hdr.length + 54 + vlrPayload.length
     val hb = ByteBuffer.wrap(hdr).order(ByteOrder.LITTLE_ENDIAN)
     hb.putInt(96, dataOffset)
@@ -248,10 +250,71 @@ object LasWriter {
     vlrHead.putShort(vlrPayload.length.toShort)
     vlrHead.put("graft laszip".padTo(32, '\u0000').getBytes("US-ASCII"), 0, 32)
     val block = graft.sources.laz.LazEncoder.compress(
-      raw, s.count.toInt, rl, pointFormat, chunkSize, dataOffset.toLong)
+      raw, s.count.toInt, rl, pointFormat, chunkSize, dataOffset.toLong,
+      chunkCounts = chunkCounts)
     val out = new ByteArrayOutputStream(dataOffset + block.length)
     out.write(hdr); out.write(vlrHead.array()); out.write(vlrPayload); out.write(block)
     out.toByteArray
+  }
+
+  /** SPATIALLY-CHUNKED compressed export — the cloud-optimized layout
+    * on the standard variable-chunk container: points are sorted by
+    * `tileSize` tile and every tile becomes its own chunk run (chunks
+    * capped at `maxChunk` points), so each LAZ chunk covers a compact
+    * spatial extent. A sidecar `<path>.chunks.json` records every
+    * chunk's bbox (padded one quantization step outward);
+    * [[LasDecode.asChunkSplitDataFrame]] with `bounds` prunes whole
+    * chunks against it BEFORE any read or decompression — the
+    * compressed-archive analogue of this engine's doc-bbox parquet
+    * pruning (and of the reference's tindex discipline,
+    * kernels/TIndexKernel.cpp). The driver single-file path is
+    * fixture-scale by intent, like [[writeLaz]]; at production scale
+    * the executor-sharded writer splits by tile FIRST and each shard
+    * gets its own spatial chunking. */
+  def writeLazTiled(path: String, df: DataFrame, pointFormat: Int, xf: XForms,
+                    tileSize: Double, maxChunk: Int = 50000): LasDecode.LasHeader = {
+    import org.apache.spark.sql.functions.{col, floor}
+    require(tileSize > 0, s"tileSize $tileSize")
+    val rl = recordLen(pointFormat)
+    val sorted = df.orderBy(floor(col("x") / tileSize), floor(col("y") / tileSize))
+    val ix = ColIx.of(sorted.columns)
+    val body = new ByteArrayOutputStream()
+    val s = new Summary
+    val rec = ByteBuffer.allocate(rl).order(ByteOrder.LITTLE_ENDIAN)
+    val counts = scala.collection.mutable.ArrayBuffer.empty[Int]
+    val boxes = scala.collection.mutable.ArrayBuffer.empty[(Double, Double, Double, Double)]
+    var curTx = 0L; var curTy = 0L; var n = 0
+    var bminx = 0.0; var bminy = 0.0; var bmaxx = 0.0; var bmaxy = 0.0
+    def flush(): Unit = if (n > 0) {
+      counts += n
+      boxes += ((bminx - xf.sx, bminy - xf.sy, bmaxx + xf.sx, bmaxy + xf.sy))
+      n = 0
+    }
+    val it = sorted.toLocalIterator()
+    while (it.hasNext) {
+      val row = it.next()
+      val x = row.getDouble(ix.x); val y = row.getDouble(ix.y)
+      val tx = math.floor(x / tileSize).toLong
+      val ty = math.floor(y / tileSize).toLong
+      if (n >= maxChunk || (n > 0 && (tx != curTx || ty != curTy))) flush()
+      if (n == 0) { curTx = tx; curTy = ty; bminx = x; bminy = y; bmaxx = x; bmaxy = y }
+      else {
+        if (x < bminx) bminx = x; if (x > bmaxx) bmaxx = x
+        if (y < bminy) bminy = y; if (y > bmaxy) bmaxy = y
+      }
+      encodeRecord(rec, row, ix, pointFormat, xf, s)
+      body.write(rec.array(), 0, rl)
+      n += 1
+    }
+    flush()
+    val bytes = lazContainerBytes(body.toByteArray, pointFormat, xf, s,
+      maxChunk, counts.toSeq)
+    Files.write(Paths.get(path), bytes)
+    val side = counts.zip(boxes).map { case (c, (a, b, cc, d)) =>
+      s"""{"count":$c,"minx":$a,"miny":$b,"maxx":$cc,"maxy":$d}"""
+    }.mkString("[", ",\n ", "]")
+    Files.write(Paths.get(path + ".chunks.json"), side.getBytes("UTF-8"))
+    LasDecode.readHeader(ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN))
   }
 
   /** Append an OGC-WKT SRS record (2112) as a LAS 1.4 EXTENDED VLR to a

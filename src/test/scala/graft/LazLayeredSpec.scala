@@ -217,6 +217,72 @@ class LazLayeredSpec extends AnyFunSuite {
     assert(par.exceptAll(drv).isEmpty && drv.exceptAll(par).isEmpty)
   }
 
+  test("spatially-chunked archive: bounds prunes whole chunks before decompression") {
+    // 1000 pts across a 4x4 tile grid on [0,16)^2
+    val rows = (0 until 1000).map { i =>
+      val x = (i % 40) * 0.4 + 0.01 // 0.01 .. 15.6
+      val y = (i / 40) * 0.64 + 0.01
+      org.apache.spark.sql.Row("t", i, x, y, 1.0 + (i % 7), i % 100,
+        1.toShort, 1.toShort, 0.toShort, 0.0f, 0.toShort, 0, 0.0, 0, 0, 0, 0, 0.toShort)
+    }
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 2), LasDecode.schema)
+    val out = java.nio.file.Files.createTempFile("graftlaztiled", ".laz").toString
+    val h = LasWriter.writeLazTiled(out, df, pointFormat = 0, xf, tileSize = 4.0)
+    assert(h.pointCount === 1000L)
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(out + ".chunks.json")))
+    val boxes = LasDecode.chunkBoxesOf(
+      java.nio.file.Files.readString(java.nio.file.Paths.get(out + ".chunks.json")))
+    assert(boxes.size === 16, "one chunk per non-empty 4x4 tile")
+    assert(boxes.map(_.count).sum === 1000)
+
+    val full = LasDecode.asChunkSplitDataFrame(spark, out)
+    assert(full.rdd.getNumPartitions === 16)
+    // query box inside one tile: exactly one chunk survives pruning
+    val q = Seq(1.0, 1.0, 3.0, 3.0)
+    val pruned = LasDecode.asChunkSplitDataFrame(spark, out, bounds = q)
+    assert(pruned.rdd.getNumPartitions === 1, "bounds should keep exactly one chunk")
+    // pruning is an optimization, not a filter: after the EXACT crop the
+    // pruned read equals the full read
+    import org.apache.spark.sql.functions.col
+    def crop(d: org.apache.spark.sql.DataFrame) =
+      d.filter(col("x") >= q(0) && col("x") <= q(2) && col("y") >= q(1) && col("y") <= q(3))
+        .select("span_idx", "x", "y", "z")
+    val a = crop(full).collect().map(_.toSeq).toSet
+    val b = crop(pruned).collect().map(_.toSeq).toSet
+    assert(a === b && a.nonEmpty)
+    // off-grid box prunes everything
+    assert(LasDecode.asChunkSplitDataFrame(spark, out,
+      bounds = Seq(100.0, 100.0, 200.0, 200.0)).count() === 0L)
+    // a STALE sidecar (entry counts disagree) falls back to full decode
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(out + ".chunks.json"),
+      """[{"count":5,"minx":0,"miny":0,"maxx":1,"maxy":1}]""")
+    val stale = LasDecode.asChunkSplitDataFrame(spark, out, bounds = q)
+    assert(stale.rdd.getNumPartitions === 16, "stale sidecar must not prune")
+    assert(crop(stale).collect().map(_.toSeq).toSet === a)
+  }
+
+  test("pipeline readers.las bounds + filters.crop over a tiled .laz matches the unpruned run") {
+    val rows = v14Rows(600, 23)
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 2), LasDecode.schema)
+    val out = java.nio.file.Files.createTempFile("graftlaztp", ".laz").toString
+    LasWriter.writeLazTiled(out, df, pointFormat = 6, xf, tileSize = 500.0, maxChunk = 100)
+    val q = "[-400, -400, 400, 400]"
+    val pruned = graft.plans.Pipeline.run(spark,
+      s"""{ "pipeline": [
+         |  {"type": "readers.las", "path": "$out", "splits": 4, "bounds": $q},
+         |  {"type": "filters.crop", "bounds": $q}
+         |]}""".stripMargin).df
+    val full = graft.plans.Pipeline.run(spark,
+      s"""{ "pipeline": [
+         |  {"type": "readers.las", "path": "$out", "splits": 4},
+         |  {"type": "filters.crop", "bounds": $q}
+         |]}""".stripMargin).df
+    assert(pruned.count() > 0)
+    assert(pruned.exceptAll(full).isEmpty && full.exceptAll(pruned).isEmpty)
+  }
+
   test("variable-size sentinel on the unchunked compressor 1 still fails loudly") {
     val vlr = graft.sources.laz.LazDecoder.LazVlr(1, 0xFFFFFFFFL,
       Seq((graft.sources.laz.LazDecoder.ItemPoint10, 20, 1)))
