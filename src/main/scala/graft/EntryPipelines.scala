@@ -36,13 +36,14 @@ object EntryPipelines {
       val p = pts(s, dir)
       val src = p.filter(col("intensity") % 89 === 0)
       val cand = p.filter(col("intensity") % 97 === 0)
-      JoinOps.delta(src, cand, level = 4)
+      JoinOps.delta(src, cand, level = JoinOps.AutoLevel)
         .select("doc_id", "span_idx", "dx", "dy", "dz")
     }),
 
     "q_sor" -> ((s, dir) => {
       val sub = pts(s, dir).filter(col("intensity") % 19 === 0)
-      JoinOps.statisticalOutlierRemoval(k = 4, multThresh = 1.0, level = 4)(sub)
+      JoinOps.statisticalOutlierRemoval(k = 4, multThresh = 1.0,
+        level = JoinOps.AutoLevel)(sub)
         .select("doc_id", "span_idx")
     }),
 

@@ -38,7 +38,10 @@ object InfoOps {
     require(side >= radius,
       s"cell side $side at level $level < radius $radius — use a coarser level")
     val pts = df
+    // both sides of the self-join scan the slim projection: materialize
+    // it once (ContextCleaner-freed; see escalateKnn)
     val slim = pts.select("doc_id", "span_idx", "x", "y", "z")
+      .localCheckpoint(eager = true)
     val pairs = JoinOps.knnPairs(slim, slim, level, space, dims3 = true)
       .filter(!(col("doc_id") === col("__r.doc_id") && col("span_idx") === col("__r.span_idx")))
       .filter(col("__d2") <= radius * radius)

@@ -284,6 +284,27 @@ object JoinOps {
     l.join(r, "__cell").withColumn("__d2", d2).drop("__cell")
   }
 
+  /** [[ringPairs]] twin for the escalation loop's narrow frames: left is
+    * (__pid, x, y, z) — renamed __lpid to keep the pair row free of
+    * ambiguity — right is (__pid, x, y, z[, doc_id, span_idx]). No
+    * strings on the pair row unless the caller's aggregate needs the
+    * right-side identity (exactNearest's tie-break). */
+  private def ringPairsPid(left: DataFrame, right: DataFrame, level: Int,
+                           space: CellSpace, dims3: Boolean,
+                           keepCells: Option[java.util.HashSet[java.lang.Long]]): DataFrame = {
+    val l = left.select(col("__pid").as("__lpid"), col("x"), col("y"), col("z"))
+      .withColumn("__cell", SpatialFunctions.cellId(col("x"), col("y"), level, space))
+    var rc = right.withColumn("__cell",
+      explode(neighborRing(SpatialFunctions.cellId(col("x"), col("y"), level, space), space)))
+    keepCells.foreach(s => rc = rc.filter(toCol(CellSetContains(toExpr(col("__cell")), s))))
+    val r = rc.select(col("__cell"), struct(right.columns.map(col): _*).as("__r"))
+    val ddx = col("x") - col("__r.x"); val ddy = col("y") - col("__r.y")
+    val d2d = ddx * ddx + ddy * ddy
+    val ddz = col("z") - col("__r.z")
+    val d2 = if (dims3) d2d + ddz * ddz else d2d
+    l.join(r, "__cell").withColumn("__d2", d2).drop("__cell")
+  }
+
   /** EXACT distributed kNN via grid-ring candidates + a per-point distance
     * certificate with level escalation. A ring join at level L provably
     * contains every neighbor within cellSide(L) of a point, so any point
@@ -296,23 +317,96 @@ object JoinOps {
     * never had, while keeping the scale-friendly single-ring plan for
     * ~all points.
     *
-    * `agg` must aggregate `ringPairs` output per left point, keeping the
-    * left keys/coords; `certify(guard)` must return a boolean column that
-    * is true iff the per-point result is provably exact when every
-    * neighbor within `guard` was among the candidates.
+    * `agg` must aggregate [[ringPairsPid]] output to one row per left
+    * point, grouped on (and keeping) `__lpid`; `certify(guard)` must
+    * return a boolean column that is true iff the per-point result is
+    * provably exact when every neighbor within `guard` was among the
+    * candidates. (doc_id, span_idx, x, y, z) are joined back onto the
+    * result after the loop.
     */
+  /** Sentinel for the kNN family's `level` parameters: pick the start
+    * level from candidate density instead of a caller constant. */
+  val AutoLevel: Int = -1
+
+  /** Density-based start level for certificate-escalation kNN: the
+    * finest grid whose cell side still makes per-point certification
+    * likely. Certification at level L needs the k-th neighbor within one
+    * cell side; under ~uniform density E[candidates within cellSide(L)]
+    * = n*pi/4^L (relative to the space's area), so we pick the largest L
+    * with that expectation >= margin*k. Too-coarse start levels are the
+    * scale foot-gun (ring fan-out grows 4x per level too coarse); a
+    * too-fine start only costs extra escalation rounds on the sparse
+    * tail — the result is exact either way, so this is purely a plan
+    * choice, like AQE picking shuffle partition counts. */
+  def knnAutoLevel(nRight: Long, k: Int, margin: Double = 6.0): Int =
+    knnAutoLevel(nRight, k, CellSpace.default, 0.0, margin)
+
+  /** 3D-aware variant: certification needs the k-th neighbor within one
+    * XY cell side `s` in FULL 3D distance, and when points spread over a
+    * vertical extent H >> s only ~4s/(3H) of the ring candidates are
+    * also within a 3D ball of radius s (sphere volume over ring-slab
+    * volume). Ignoring this picks a grid one or two levels too fine and
+    * every point escalates — a full extra pass over the data. `zSpread`
+    * = 0 recovers the planar formula. */
+  def knnAutoLevel(nRight: Long, k: Int, space: CellSpace, zSpread: Double,
+                   margin: Double): Int = {
+    val area = (space.maxx - space.minx) * (space.maxy - space.miny)
+    val minSide = math.min(space.maxx - space.minx, space.maxy - space.miny)
+    def expected(l: Int): Double = {
+      val s = minSide / (1L << l).toDouble
+      val zf = if (zSpread <= 0) 1.0 else math.min(1.0, 4.0 * s / (3.0 * zSpread))
+      nRight * math.Pi * s * s / area * zf
+    }
+    (12 to 0 by -1).find(l => expected(l) >= margin * math.max(1, k)).getOrElse(0)
+  }
+
   private def escalateKnn(left: DataFrame, right: DataFrame, startLevel: Int,
-                          space: CellSpace, dims3: Boolean, excludeSelf: Boolean)
+                          space: CellSpace, dims3: Boolean, excludeSelf: Boolean,
+                          kHint: Int = 1, carryRightIds: Boolean = false)
                          (agg: DataFrame => DataFrame)
                          (certify: Double => Column): DataFrame = {
+    require(!excludeSelf || (left eq right),
+      "excludeSelf requires the same frame reference on both sides " +
+        "(self identity is tracked by the internal point id)")
     val slim = Seq("doc_id", "span_idx", "x", "y", "z").map(col)
-    val r0 = right.select(slim: _*)
-    var pending = left.select(slim: _*)
+    // HOT-PATH SHAPE: the ring join fans each point out ~9x density
+    // candidates, so every byte on a pair row is multiplied millions of
+    // times. Identity therefore travels as ONE packed long (`__pid`,
+    // frozen by the eager checkpoint) and the (doc_id, span_idx) strings
+    // are restored by a single narrow join at the very end — the pair
+    // stream carries only longs and doubles. The slim projections are
+    // materialized once (blocks ContextCleaner-freed when the caller
+    // drops the result); self-joins (SOR) share one checkpoint.
+    val rP = right.select(slim: _*)
+      .withColumn("__pid", monotonically_increasing_id())
+      .localCheckpoint(eager = true)
+    val lP = if (left eq right) rP
+      else left.select(slim: _*)
+        .withColumn("__pid", monotonically_increasing_id())
+        .localCheckpoint(eager = true)
+    val rNarrowCols =
+      (Seq("__pid", "x", "y", "z") ++
+        (if (carryRightIds) Seq("doc_id", "span_idx") else Nil)).map(col)
+    val rNarrow = rP.select(rNarrowCols: _*)
+    var pending = lP.select(col("__pid"), col("x"), col("y"), col("z"))
     var out: Option[DataFrame] = None
-    var lvl = math.max(0, startLevel)
+    var lvl =
+      if (startLevel >= 0) startLevel
+      else if (!dims3) knnAutoLevel(rP.count(), kHint)
+      else {
+        // one tiny aggregate over the checkpointed slim side: row count +
+        // robust vertical spread (p05..p95) for the 3D-aware level pick
+        val st = rP.agg(count(lit(1)).as("n"),
+          expr("percentile_approx(z, array(0.05d, 0.95d))").as("zq")).head()
+        val zq = if (st.isNullAt(1)) null else st.getSeq[Double](1)
+        val spread = if (zq == null || zq.length < 2) 0.0 else zq(1) - zq(0)
+        knnAutoLevel(st.getLong(0), kHint, space, spread, margin = 6.0)
+      }
+    val dbg = sys.env.contains("GRAFT_KNN_DEBUG")
     var firstRound = true
     var done = false
     while (!done) {
+      val tRound = System.nanoTime()
       val guard = math.min(space.maxx - space.minx, space.maxy - space.miny) / (1L << lvl).toDouble
       val keep =
         if (firstRound) None
@@ -322,10 +416,19 @@ object JoinOps {
             .distinct().collect().map(_.getLong(0))
           if (cells.length <= (1 << 16)) Some(cellSet(cells)) else None
         }
-      var pairs = ringPairs(pending, r0, lvl, space, dims3, keep)
+      var pairs = ringPairsPid(pending, rNarrow, lvl, space, dims3, keep)
       if (excludeSelf)
-        pairs = pairs.filter(!(col("doc_id") === col("__r.doc_id") &&
-          col("span_idx") === col("__r.span_idx")))
+        pairs = pairs.filter(col("__lpid") =!= col("__r.__pid"))
+      // EXACTNESS-PRESERVING guard filter: a certified result only ever
+      // uses neighbors within `guard` (the certificate is precisely "the
+      // k-th candidate lies within guard"), so pairs farther than guard
+      // cannot change a certified answer — and an uncertified point
+      // escalates and recomputes anyway. Filtering here is a codegen'd
+      // comparison that keeps the ~9x ring fan-out out of the per-group
+      // aggregate. At level 0 the ring IS the full cross join and the
+      // certificate is vacuous, so every pair must be kept.
+      if (lvl > 0)
+        pairs = pairs.filter(col("__d2") <= lit(guard * guard))
       // materialize once — feeds both the certified and escalation branch
       val nn = agg(pairs).localCheckpoint()
       val cert = if (lvl == 0) lit(true) else certify(guard)
@@ -333,17 +436,24 @@ object JoinOps {
       out = Some(out.map(_.unionByName(ok)).getOrElse(ok))
       if (lvl == 0) done = true
       else {
-        // uncertified + points with zero ring candidates (absent from nn)
-        val bad = nn.filter(!cert).select(slim: _*)
-          .unionByName(pending.join(nn.select("doc_id", "span_idx"),
-            Seq("doc_id", "span_idx"), "left_anti"))
+        // uncertified + points with zero ring candidates (absent from nn):
+        // one anti-join of the narrow pending frame against the certified ids
+        val bad = pending.join(ok.select(col("__lpid")),
+            pending("__pid") === col("__lpid"), "left_anti")
           .localCheckpoint()
-        if (bad.isEmpty) done = true
+        val nBad = bad.count()
+        if (dbg) println(f"[knn] level $lvl round done in " +
+          f"${(System.nanoTime() - tRound) / 1e9}%.2fs, uncertified=$nBad")
+        if (nBad == 0) done = true
         else { pending = bad; lvl = math.max(0, lvl - 2) }
       }
+      if (dbg && done) println(f"[knn] final level $lvl round in " +
+        f"${(System.nanoTime() - tRound) / 1e9}%.2fs")
       firstRound = false
     }
-    out.get
+    // restore (doc_id, span_idx) and coordinates with one narrow join
+    out.get.join(lP, col("__lpid") === lP("__pid"))
+      .drop("__lpid", "__pid")
   }
 
   /** Exact k-nearest squared distances per left point: (doc_id, span_idx,
@@ -352,8 +462,8 @@ object JoinOps {
                         space: CellSpace = CellSpace.default, dims3: Boolean = false,
                         excludeSelf: Boolean = false): DataFrame = {
     val topk = udaf(new TopKDistAgg(k))
-    escalateKnn(left, right, startLevel, space, dims3, excludeSelf)(pairs =>
-      pairs.groupBy(col("doc_id"), col("span_idx"), col("x"), col("y"), col("z"))
+    escalateKnn(left, right, startLevel, space, dims3, excludeSelf, kHint = k)(pairs =>
+      pairs.groupBy(col("__lpid"))
         .agg(topk(col("__d2")).as("__nnd2")))(g =>
       size(col("__nnd2")) === k && element_at(col("__nnd2"), k) <= lit(g * g))
   }
@@ -364,8 +474,9 @@ object JoinOps {
   def exactNearest(left: DataFrame, right: DataFrame, startLevel: Int,
                    space: CellSpace = CellSpace.default,
                    dims3: Boolean = false): DataFrame =
-    escalateKnn(left, right, startLevel, space, dims3, excludeSelf = false)(pairs =>
-      pairs.groupBy(col("doc_id"), col("span_idx"), col("x"), col("y"), col("z"))
+    escalateKnn(left, right, startLevel, space, dims3, excludeSelf = false,
+      kHint = 1, carryRightIds = true)(pairs =>
+      pairs.groupBy(col("__lpid"))
         .agg(
           min_by(struct(col("__r.x").as("nx"), col("__r.y").as("ny"), col("__r.z").as("nz")),
             struct(col("__d2"), col("__r.doc_id"), col("__r.span_idx"))).as("__n"),

@@ -251,9 +251,10 @@ object Pipeline {
           maxDistance = st.dbl("max_distance").getOrElse(2.5)),
           extract = st.bool("extract").getOrElse(false))(in.get)
       case "filters.outlier" =>
+        // level omitted -> density-based auto start (JoinOps.knnAutoLevel)
         JoinOps.statisticalOutlierRemoval(st.int("mean_k").getOrElse(8),
-          st.dbl("multiplier").getOrElse(2.0), st.int("level").getOrElse(6),
-          space(st))(in.get)
+          st.dbl("multiplier").getOrElse(2.0),
+          st.int("level").getOrElse(JoinOps.AutoLevel), space(st))(in.get)
       case "filters.merge" =>
         in.get // n-ary merge handled by the runner (union of its inputs)
       case "filters.lod" =>

@@ -1,6 +1,6 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.model.Model
@@ -61,25 +61,30 @@ object DocSynth {
 
   def docTableFrom(li: DataFrame): DataFrame = {
     val q = quantized(li)
-    val pointSpans = q.select(col("okey"),
-      lit("point").as("kind"),
-      concat_ws(",", col("xi").cast(StringType), col("yi").cast(StringType),
-        col("zi").cast(StringType), col("intensity").cast(StringType),
-        col("pid").cast(StringType)).as("text"),
-      lit("").as("media_ref"), col("offset"))
-    val textSpans = q.filter(col("seq") % 2 === 1).select(col("okey"),
-      lit("text").as("kind"),
-      concat(col("l_returnflag"), col("l_linestatus"), lit(" line "),
-        col("seq").cast(StringType)).as("text"),
-      lit("").as("media_ref"), (col("offset") + 1).as("offset"))
-    val mediaSpans = q.filter(col("seq") % 3 === 1).select(col("okey"),
-      lit("media").as("kind"), lit("").as("text"),
-      concat(lit("blob://"), col("l_partkey").cast(StringType)).as("media_ref"),
-      (col("offset") + 2).as("offset"))
-    pointSpans.unionByName(textSpans).unionByName(mediaSpans)
-      .groupBy(col("okey"))
-      .agg(sort_array(collect_list(struct(
-        col("offset"), col("kind"), col("text"), col("media_ref")))).as("ordered"))
+    // SINGLE-PASS span construction: each lineitem row emits its 1-3
+    // spans as one array cell (point always; text iff seq odd; media iff
+    // seq ≡ 1 mod 3) instead of a 3-branch union that scans the windowed
+    // input three times. Identical rows in identical order — the span
+    // structs and the (offset-first) sort key are byte-for-byte the same
+    // as the union formulation mirrored in Oracle.spansCte.
+    def span(off: Column, kind: String, text: Column, mediaRef: Column): Column =
+      struct(off.as("offset"), lit(kind).as("kind"), text.as("text"),
+        mediaRef.as("media_ref"))
+    val spanArr = filter(array(
+      span(col("offset"), "point",
+        concat_ws(",", col("xi").cast(StringType), col("yi").cast(StringType),
+          col("zi").cast(StringType), col("intensity").cast(StringType),
+          col("pid").cast(StringType)), lit("")),
+      when(col("seq") % 2 === 1,
+        span(col("offset") + 1, "text",
+          concat(col("l_returnflag"), col("l_linestatus"), lit(" line "),
+            col("seq").cast(StringType)), lit(""))),
+      when(col("seq") % 3 === 1,
+        span(col("offset") + 2, "media", lit(""),
+          concat(lit("blob://"), col("l_partkey").cast(StringType))))),
+      x => x.isNotNull)
+    q.groupBy(col("okey"))
+      .agg(sort_array(flatten(collect_list(spanArr))).as("ordered"))
       .select(col("okey").cast(StringType).as("doc_id"),
         transform(col("ordered"), s => struct(
           s.getField("kind").as("kind"),

@@ -476,4 +476,35 @@ class OperatorBehaviorSpec extends AnyFunSuite {
     assert(Model.widen(FloatType, DoubleType) === DoubleType)
     assert(Model.widen(ByteType, ByteType) === ByteType)
   }
+
+  test("knnAutoLevel tracks candidate density and k") {
+    // denser candidates -> finer grid; larger k -> coarser grid
+    assert(JoinOps.knnAutoLevel(0, 1) === 0)
+    assert(JoinOps.knnAutoLevel(100, 4) <= JoinOps.knnAutoLevel(100000, 4))
+    assert(JoinOps.knnAutoLevel(100000, 64) <= JoinOps.knnAutoLevel(100000, 4))
+    // never beyond the clamp, even at absurd densities
+    assert(JoinOps.knnAutoLevel(Long.MaxValue / 4, 1) === 12)
+    // the sf0.1 SOR shape (~32k candidates, k=4) picks a usefully finer
+    // grid than the old hardcoded level 4
+    val l = JoinOps.knnAutoLevel(31500, 4)
+    assert(l >= 5 && l <= 8, s"unexpected auto level $l")
+  }
+
+  test("AutoLevel start produces the exact same results as a fixed start") {
+    // exactness is certificate-guaranteed at ANY start level, so auto
+    // level selection must be invisible in the output — only the plan
+    // (ring fan-out size, escalation rounds) may differ
+    val pts = Faux.uniform(spark, Faux.Box3(0, 0, 0, 600, 600, 30), 900, seed = 17)
+    def sorKept(level: Int): Set[(String, Int)] =
+      JoinOps.statisticalOutlierRemoval(k = 4, multThresh = 1.0, level = level)(pts)
+        .select("doc_id", "span_idx").collect()
+        .map(r => (r.getString(0), r.getInt(1))).toSet
+    assert(sorKept(JoinOps.AutoLevel) === sorKept(4))
+    val cand = Faux.uniform(spark, Faux.Box3(0, 0, 0, 600, 600, 30), 400, seed = 18, "cand")
+    def deltas(level: Int): Set[(Int, Double, Double, Double)] =
+      JoinOps.delta(pts.limit(200), cand, level = level)
+        .select("span_idx", "dx", "dy", "dz").collect()
+        .map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2), r.getDouble(3))).toSet
+    assert(deltas(JoinOps.AutoLevel) === deltas(5))
+  }
 }
