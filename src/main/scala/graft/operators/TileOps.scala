@@ -46,8 +46,13 @@ object TileOps {
     * selection is exact (window row_number per node, stable tiebreak on
     * original point order, matching the reference's stable_sort).
     *
-    * Distributed shape: log2(m) rounds, each = one per-node range
-    * aggregate (tiny, collected) + one window shuffle keyed by node.
+    * Distributed shape: log2(m) rounds. Small nodes rank with one window
+    * shuffle keyed by node; nodes above `sketchSplitMinRows` rows switch
+    * to a quantile-sketch split (aggregate + boundary refinement + map-
+    * only cut-key assignment — see the strategy comment in the loop)
+    * whose jobs never sort or shuffle the full data, so the first rounds
+    * stay parallel at any scale. Both paths are exact and bit-identical;
+    * the threshold is a parameter only so tests can force either path.
     * At very large m, swap `exactRanks = false`-style sampling in; the
     * contract (<= capacity, spatially contiguous, squarish) survives
     * approximation — only exact size parity needs exact ranks.
@@ -55,7 +60,7 @@ object TileOps {
     * Returns df + `chip` column (0-based chip ordinal in partition
     * order along the recursion, which equals the reference's emit order).
     */
-  def chipper(capacity: Long)(df0: DataFrame): DataFrame = {
+  def chipper(capacity: Long, sketchSplitMinRows: Long = 2000000L)(df0: DataFrame): DataFrame = {
     // cache serves the per-round aggregates of the driver loop and is
     // released before returning (the final lazy join re-reads the input
     // once); long-lived sessions must not accrete CacheManager entries
@@ -77,42 +82,165 @@ object TileOps {
     var cur = df.select(col("doc_id"), col("span_idx"), col("x"), col("y"))
       .withColumn("__node", lit(0L))
 
+    val dbg = sys.env.contains("GRAFT_KNN_DEBUG")
+    // Two per-round split strategies, chosen by rows-per-node:
+    //
+    // WINDOW (small nodes): rank every row of every active node with one
+    // row_number window — one job, cheapest when each node's rows fit a
+    // single sort task.
+    //
+    // SKETCH (big nodes — the scale path): the window shape is a dead
+    // end for early rounds at scale (round 1 = sort the ENTIRE dataset
+    // inside one partition). Instead:
+    //   A. per-node aggregate: count, ranges, and approximate quantile
+    //      sketches of both axes (partial-aggregated, one row per node);
+    //   B. per-node exact counts around the sketch-bracketed split value
+    //      (verifies the bracket; falls back to the full range on the
+    //      rare sketch miss);
+    //   C. exact rank of the threshold row among ONLY the bracketed
+    //      boundary rows (a window over ~n/G rows per node), collecting
+    //      one CUT KEY (axis value, doc_id, span_idx) per node.
+    // Assignment is then a map-only lexicographic comparison against the
+    // broadcast cut keys — rows with full key <= cut go left, exactly
+    // the window path's `row_number < thresh` split (full keys are
+    // unique: the engine-wide (doc_id, span_idx) point identity). No
+    // full-data shuffle or sort exists anywhere in the sketch path; both
+    // paths produce bit-identical assignments (spec-pinned).
+    val G = 200          // sketch grid: boundary rows ~ n/G per node
+    val ACC = 10000      // percentile_approx rank-error <= n/ACC
+    val fractions = (0 to G).map(_.toDouble / G).toArray
     while (nodes.values.exists(!_.leaf)) {
+      val tRound = System.nanoTime()
       val activeIds = nodes.filter(!_._2.leaf).keySet
-      // 1. per-node coordinate ranges (driver-collected; <= #nodes rows)
-      val ranges = cur.filter(col("__node").isin(activeIds.toSeq: _*))
+      val useSketch = n / activeIds.size > sketchSplitMinRows
+      // A. per-node count/ranges (+ sketches on the sketch path);
+      //    driver-collected, <= #nodes rows
+      val baseAggs = Seq(
+        min("x").as("minx"), max("x").as("maxx"),
+        min("y").as("miny"), max("y").as("maxy"))
+      val sketchAggs = if (useSketch) Seq(
+        percentile_approx(col("x"), typedLit(fractions), lit(ACC)).as("qx"),
+        percentile_approx(col("y"), typedLit(fractions), lit(ACC)).as("qy"))
+        else Nil
+      val statRows = cur.filter(col("__node").isin(activeIds.toSeq: _*))
         .groupBy(col("__node"))
-        .agg(min("x").as("minx"), max("x").as("maxx"),
-          min("y").as("miny"), max("y").as("maxy"))
+        .agg(count(lit(1)).as("n"), (baseAggs ++ sketchAggs): _*)
         .collect()
-        .map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
-        .toMap
-      // 2. per-node split decision: wider axis (x iff xrange > yrange,
-      //    ChipperFilter.cpp:185-192) + rank threshold
-      val decisions = activeIds.toSeq.map { id =>
+      // B-prep. split decision + sketch bracket per node: wider axis
+      //   (x iff xrange > yrange, ChipperFilter.cpp:185-192) + rank
+      //   threshold from the cumulate-and-round formula
+      final case class Split(id: Long, onX: Boolean, t: Long, n: Long,
+                             var vLo: Double, var vHi: Double,
+                             var cLo: Long = 0L)
+      val splits = statRows.map { r =>
+        val id = r.getLong(0); val nNode = r.getLong(1)
+        val (mnx, mxx, mny, mxy) =
+          (r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))
+        val onX = (mxx - mnx) > (mxy - mny)
         val Node(pl, pr) = nodes(id)
-        val (mnx, mxx, mny, mxy) = ranges(id)
-        val splitOnX = (mxx - mnx) > (mxy - mny)
         val pc = (pl + pr) / 2
-        val thresh = bound(pc) - bound(pl) // # points going left
-        (id, splitOnX, thresh)
+        val t = bound(pc) - bound(pl) // # points going left
+        if (!useSketch) Split(id, onX, t, nNode,
+          Double.NegativeInfinity, Double.PositiveInfinity)
+        else {
+          val grid = r.getSeq[Double](if (onX) 6 else 7)
+          val q = t.toDouble / nNode
+          val eps = 1.0 / G + 2.0 / ACC
+          val iLo = math.floor((q - eps) * G).toInt
+          val iHi = math.ceil((q + eps) * G).toInt
+          val vLo = if (iLo < 0) Double.NegativeInfinity else grid(iLo)
+          val vHi = if (iHi > G) Double.PositiveInfinity else grid(iHi)
+          Split(id, onX, t, nNode, vLo, vHi)
+        }
       }
-      val axisByNode = map(decisions.flatMap { case (id, ax, _) =>
-        Seq(lit(id), lit(ax)) }: _*)
-      val threshByNode = map(decisions.flatMap { case (id, _, t) =>
-        Seq(lit(id), lit(t)) }: _*)
-      // 3. window rank within node along chosen axis, stable tiebreak
-      val axisVal = when(axisByNode(col("__node")), col("x")).otherwise(col("y"))
-      val w = Window.partitionBy(col("__node"))
-        .orderBy(axisVal.asc, col("doc_id").asc, col("span_idx").asc)
-      cur = cur
-        .withColumn("__rank", row_number().over(w) - 1)
-        .withColumn("__node",
-          // leaf-node rows (no entry in the decision maps) keep their node
-          when(threshByNode(col("__node")).isNull, col("__node"))
-            .when(col("__rank") < threshByNode(col("__node")), col("__node") * 2 + 1)
-            .otherwise(col("__node") * 2 + 2))
-        .drop("__rank")
+      def axisVal(byNode: Column): Column = when(byNode, col("x")).otherwise(col("y"))
+      def mapOf[T](f: Split => T): Column =
+        map(splits.flatMap(s => Seq(lit(s.id), lit(f(s)))).toSeq: _*)
+      if (!useSketch) {
+        // WINDOW path: rank within node along the chosen axis, stable
+        // (doc_id, span_idx) tiebreak, one shuffle keyed by node
+        val axisByNode = mapOf(_.onX); val threshByNode = mapOf(_.t)
+        val av = axisVal(axisByNode(col("__node")))
+        val w = Window.partitionBy(col("__node"))
+          .orderBy(av.asc, col("doc_id").asc, col("span_idx").asc)
+        cur = cur
+          .withColumn("__rank", row_number().over(w) - 1)
+          .withColumn("__node",
+            // leaf-node rows (no entry in the decision maps) keep their node
+            when(threshByNode(col("__node")).isNull, col("__node"))
+              .when(col("__rank") < threshByNode(col("__node")), col("__node") * 2 + 1)
+              .otherwise(col("__node") * 2 + 2))
+          .drop("__rank")
+      } else {
+      // B. exact counts below/inside the bracket; sketch-miss nodes fall
+      //    back to the full range (bracket = everything, cLo = 0)
+      val needCut = splits.filter(s => s.t > 0 && s.t < s.n)
+      var cutRows: Array[org.apache.spark.sql.Row] = Array.empty
+      if (needCut.nonEmpty) {
+        val onXM = mapOf(_.onX); val vLoM = mapOf(_.vLo); val vHiM = mapOf(_.vHi)
+        val av = axisVal(onXM(col("__node")))
+        val cnt = cur.filter(col("__node").isin(needCut.map(_.id).toSeq: _*))
+          .groupBy(col("__node"))
+          .agg(sum(when(av < vLoM(col("__node")), 1L).otherwise(0L)).as("c_lo"),
+            sum(when(av >= vLoM(col("__node")) && av <= vHiM(col("__node")), 1L)
+              .otherwise(0L)).as("c_in"))
+          .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+        needCut.foreach { s =>
+          val (cLo, cIn) = cnt(s.id)
+          if (cLo < s.t && cLo + cIn >= s.t) { s.cLo = cLo }
+          else { // sketch miss: widen to the whole node (exact, just slower)
+            s.vLo = Double.NegativeInfinity; s.vHi = Double.PositiveInfinity
+            s.cLo = 0L
+            if (dbg) println(s"[chipper] sketch miss on node ${s.id} " +
+              s"(cLo=$cLo cIn=$cIn t=${s.t}) — full-range fallback")
+          }
+        }
+        // C. exact rank among boundary rows only -> one cut key per node
+        val onXM2 = mapOf(_.onX); val vLoM2 = mapOf(_.vLo); val vHiM2 = mapOf(_.vHi)
+        val resM = mapOf(s => s.t - s.cLo)
+        val av2 = axisVal(onXM2(col("__node")))
+        val wB = Window.partitionBy(col("__node"))
+          .orderBy(av2.asc, col("doc_id").asc, col("span_idx").asc)
+        cutRows = cur
+          .filter(col("__node").isin(needCut.map(_.id).toSeq: _*))
+          .filter(av2 >= vLoM2(col("__node")) && av2 <= vHiM2(col("__node")))
+          .withColumn("__brank", row_number().over(wB))
+          .filter(col("__brank") === resM(col("__node")))
+          .select(col("__node"), av2.as("__cut_a"), col("doc_id"), col("span_idx"))
+          .collect()
+        require(cutRows.length == needCut.length,
+          s"chipper cut-key resolution found ${cutRows.length} of " +
+            s"${needCut.length} node cuts — duplicate (doc_id, span_idx) keys?")
+      }
+      // assignment: full key (axis, doc_id, span_idx) <= cut key.
+      // Degenerate thresholds join the same map with an axis cut of
+      // +inf (t == n, everything left) or -inf (t == 0, everything
+      // right); equality with an infinity never fires, so their missing
+      // doc/span entries (null comparisons -> false) are unreachable.
+      val cutAEntries =
+        cutRows.flatMap(r => Seq(lit(r.getLong(0)), lit(r.getDouble(1)))).toSeq ++
+          splits.filter(s => s.t == 0 || s.t == s.n).flatMap(s =>
+            Seq(lit(s.id), lit(if (s.t == s.n) Double.PositiveInfinity
+              else Double.NegativeInfinity)))
+      val cutA = map(cutAEntries: _*)
+      // -1L sentinel entry keeps the maps typed when cutRows is empty
+      // (node ids are always >= 0, so it never matches)
+      val cutD = map(Seq(lit(-1L), lit("")) ++ cutRows.flatMap(r =>
+        Seq(lit(r.getLong(0)), lit(r.getString(2)))): _*)
+      val cutS = map(Seq(lit(-1L), lit(0)) ++ cutRows.flatMap(r =>
+        Seq(lit(r.getLong(0)), lit(r.getInt(3)))): _*)
+      val a = cutA(col("__node"))
+      val av3 = axisVal(mapOf(_.onX)(col("__node")))
+      val goLeft = av3 < a ||
+        (av3 === a && (col("doc_id") < cutD(col("__node")) ||
+          (col("doc_id") === cutD(col("__node")) &&
+            col("span_idx") <= cutS(col("__node")))))
+      cur = cur.withColumn("__node",
+        // leaf-node rows (no entry in the maps) keep their node
+        when(a.isNull, col("__node"))
+          .when(goLeft, col("__node") * 2 + 1)
+          .otherwise(col("__node") * 2 + 2))
+      }
       nodes = nodes.flatMap { case (id, nd) =>
         if (nd.leaf) Seq(id -> nd)
         else {
@@ -121,6 +249,8 @@ object TileOps {
         }
       }
       cur = cur.localCheckpoint(eager = false)
+      if (dbg) println(f"[chipper] round with ${activeIds.size} active nodes: " +
+        f"${(System.nanoTime() - tRound) / 1e9}%.2fs")
     }
     // chip ordinal = leaf's pl (partition index) — contiguous 0..m-1;
     // join the assignment back onto the full-width rows

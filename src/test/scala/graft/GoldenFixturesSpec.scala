@@ -164,6 +164,20 @@ class GoldenFixturesSpec extends AnyFunSuite {
     assert(math.abs(b.getDouble(3) - 849427.07) < 0.05)
   }
 
+  test("F10 golden holds on the sketch-split chipper path (scale strategy)") {
+    // force the quantile-sketch split for every round (threshold 0) and
+    // assert the EXACT same chip assignment as the window path on the
+    // reference fixture — the two strategies must be bit-identical
+    val sketch = TileOps.chipper(15, sketchSplitMinRows = 0L)(p1065)
+      .select("doc_id", "span_idx", "chip").collect()
+      .map(r => (r.getString(0), r.getInt(1)) -> r.getInt(2)).toMap
+    val window = TileOps.chipper(15, sketchSplitMinRows = Long.MaxValue)(p1065)
+      .select("doc_id", "span_idx", "chip").collect()
+      .map(r => (r.getString(0), r.getInt(1)) -> r.getInt(2)).toMap
+    assert(sketch.size === 1065)
+    assert(sketch === window)
+  }
+
   // F11: crop autzen polygon -> 47 (CropFilterTest.cpp:117-153)
   test("F11 polygon crop keeps exactly 47 points") {
     val wkt = new String(java.nio.file.Files.readAllBytes(
