@@ -27,6 +27,22 @@ object Bench {
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "5000000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Generic JVM/codegen warmup BEFORE any timer starts: first-job
+    // costs (whole-stage codegen compilation, parquet reader init,
+    // shuffle machinery class loading) are session constants that no
+    // long-running cluster pays per query; without this they all land
+    // in whatever runs first and misreport it. Deliberately does NOT
+    // touch the doc table or lineitem — `synth` still measures the real
+    // input materialization.
+    locally {
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.functions._
+      val w = spark.range(1000000).select(col("id"), (col("id") % 97).as("k"))
+      w.groupBy("k").agg(sum("id"), count(lit(1))).count()
+      w.withColumn("rn", row_number().over(
+        Window.partitionBy(col("k")).orderBy(col("id")))).filter(col("rn") === 1).count()
+      spark.read.parquet(s"$sfDir/region.parquet").count()
+    }
     val t0 = System.nanoTime()
     graft.sources.DocSynth.cachedDocs(spark, sfDir).count()
     val synthSec = (System.nanoTime() - t0) / 1e9
