@@ -24,6 +24,10 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
+      // simple (one-line) plan descriptions for listener events: the
+      // default formatted mode re-renders the full plan on every AQE
+      // stage update — driver-side time that scales with plan size
+      .config("spark.sql.ui.explainMode", "simple")
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "5000000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

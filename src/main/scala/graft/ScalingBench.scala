@@ -31,6 +31,10 @@ object ScalingBench {
       .config("spark.sql.shuffle.partitions", cores)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
+      // simple (one-line) plan descriptions for listener events: the
+      // default formatted mode re-renders the full plan on every AQE
+      // stage update — driver-side time that scales with plan size
+      .config("spark.sql.ui.explainMode", "simple")
       // NOTE deliberately NOT raising objectHashAggregate's sort fallback
       // here: doc synthesis (collect_list per doc) relies on the early
       // sort-based fallback to bound memory at high replication; the

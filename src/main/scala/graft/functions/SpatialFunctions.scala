@@ -145,9 +145,83 @@ object ParsePointPayload {
   }
 }
 
+/** O(1) driver-built lookup table keyed by a long column. Replaces the
+  * `map(lit(k1), lit(v1), ...)` CreateMap idiom for driver-loop
+  * broadcast state (chipper cut keys, per-node split decisions):
+  * CreateMap embeds 2m literal child expressions that (a) evaluate by
+  * LINEAR scan per row, (b) serialize into every task binary as a full
+  * expression tree, and (c) get re-rendered into plan strings on every
+  * AQE stage update — all three costs grow with m, and the rendering
+  * alone dominated the chipper's wall time at m≈150. This expression
+  * carries one shared HashMap reference (O(1) probe, compact
+  * serialization, constant-size toString). Missing key -> null,
+  * matching GetMapValue's semantics. Values must already be in
+  * Catalyst internal format (UTF8String for strings). */
+case class LongMapLookupExpr(child: Expression,
+                             table: java.util.HashMap[java.lang.Long, Object],
+                             valueType: DataType, tag: String)
+    extends UnaryExpression with Serializable {
+  override def dataType: DataType = valueType
+  override def nullable: Boolean = true
+  override def prettyName: String = s"lookup_$tag"
+  // default UnaryExpression.toString renders prettyName(child) — the
+  // table itself never reaches a plan string
+  override protected def nullSafeEval(k: Any): Any =
+    table.get(k.asInstanceOf[java.lang.Long])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val tbl = ctx.addReferenceObj("lookupTable", table, "java.util.HashMap")
+    val boxed = valueType match {
+      case BooleanType => "java.lang.Boolean"
+      case IntegerType => "java.lang.Integer"
+      case LongType    => "java.lang.Long"
+      case DoubleType  => "java.lang.Double"
+      case StringType  => "org.apache.spark.unsafe.types.UTF8String"
+      case dt => throw new IllegalArgumentException(s"lookup value type $dt")
+    }
+    val unbox = valueType match {
+      case BooleanType => ".booleanValue()"
+      case IntegerType => ".intValue()"
+      case LongType    => ".longValue()"
+      case DoubleType  => ".doubleValue()"
+      case _           => ""
+    }
+    val c = child.genCode(ctx)
+    val o = ctx.freshName("looked")
+    ev.copy(code = org.apache.spark.sql.catalyst.expressions.codegen.Block.BlockHelper(
+      new StringContext(
+        s"""
+           |${c.code}
+           |boolean ${ev.isNull} = true;
+           |${org.apache.spark.sql.catalyst.expressions.codegen.CodeGenerator.javaType(valueType)} ${ev.value} =
+           |  ${org.apache.spark.sql.catalyst.expressions.codegen.CodeGenerator.defaultValue(valueType)};
+           |if (!${c.isNull}) {
+           |  Object $o = $tbl.get(${c.value});
+           |  if ($o != null) { ${ev.isNull} = false; ${ev.value} = (($boxed) $o)$unbox; }
+           |}
+           |""".stripMargin)).code())
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 object SpatialFunctions {
   private def expr(c: Column): Expression = ExpressionUtils.expression(c)
   private def col(e: Expression): Column = ExpressionUtils.column(e)
+
+  /** Column builder for [[LongMapLookupExpr]]: `entries` values may be
+    * Boolean/Int/Long/Double/String (strings converted to internal
+    * UTF8String here). */
+  def longLookup(key: Column, entries: Seq[(Long, Any)], valueType: DataType,
+                 tag: String): Column = {
+    val t = new java.util.HashMap[java.lang.Long, Object](entries.size * 2)
+    entries.foreach { case (k, v) =>
+      val internal: Object = v match {
+        case s: String => org.apache.spark.unsafe.types.UTF8String.fromString(s)
+        case o => o.asInstanceOf[Object]
+      }
+      t.put(k, internal)
+    }
+    col(LongMapLookupExpr(expr(key), t, valueType, tag))
+  }
 
   def mortonKey(x: Column, y: Column, space: CellSpace = CellSpace.default): Column =
     col(MortonKey(expr(x), expr(y), space))

@@ -61,13 +61,18 @@ object TileOps {
     * order along the recursion, which equals the reference's emit order).
     */
   def chipper(capacity: Long, sketchSplitMinRows: Long = 2000000L)(df0: DataFrame): DataFrame = {
-    // cache serves the per-round aggregates of the driver loop and is
-    // released before returning (the final lazy join re-reads the input
-    // once); long-lived sessions must not accrete CacheManager entries
-    val df = df0.cache()
-    try {
-    val n = df.count()
-    if (n == 0) return df.withColumn("chip", lit(0))
+    // The driver loop only ever re-scans the NARROW working set
+    // (doc_id, span_idx, x, y) — materialize exactly that as an eager
+    // row-format localCheckpoint. A full-width columnar cache of df0
+    // (the previous shape) built the expensive array/struct columnar
+    // batches for columns the loop never touches and still paid a
+    // columnar->row conversion per scan; the narrow checkpoint is both
+    // cheaper to build and cheaper to read. df0 itself is scanned
+    // exactly once more by the final assignment join.
+    val work = df0.select(col("doc_id"), col("span_idx"), col("x"), col("y"))
+      .localCheckpoint()
+    val n = work.count()
+    if (n == 0) return df0.withColumn("chip", lit(0))
     val m = ((n + capacity - 1) / capacity).toInt
     // partition boundary i (0..m): lround(i * n / m) — computed lazily,
     // never materialized (O(1) per lookup, scale-safe).
@@ -79,8 +84,7 @@ object TileOps {
     var nodes = Map(0L -> Node(0, m))
     // recursion carries only (id, coords, node) — the narrow working set
     // is what gets checkpointed log2(m) times, not the full row
-    var cur = df.select(col("doc_id"), col("span_idx"), col("x"), col("y"))
-      .withColumn("__node", lit(0L))
+    var cur = work.withColumn("__node", lit(0L))
 
     val dbg = sys.env.contains("GRAFT_KNN_DEBUG")
     // Two per-round split strategies, chosen by rows-per-node:
@@ -154,21 +158,28 @@ object TileOps {
         }
       }
       def axisVal(byNode: Column): Column = when(byNode, col("x")).otherwise(col("y"))
-      def mapOf[T](f: Split => T): Column =
-        map(splits.flatMap(s => Seq(lit(s.id), lit(f(s)))).toSeq: _*)
+      // per-node driver state rides as LongMapLookupExpr hash tables
+      // keyed by __node (O(1) probe, constant-size plan rendering, one
+      // shared reference per task) — NOT as map(lit...) literal trees,
+      // whose size-m expression trees made AQE's per-stage plan-string
+      // rendering the dominant cost of the whole operator
+      def lookupOf(f: Split => Any, vt: DataType, tag: String): Column =
+        SpatialFunctions.longLookup(col("__node"),
+          splits.map(s => s.id -> f(s)).toSeq, vt, tag)
       if (!useSketch) {
         // WINDOW path: rank within node along the chosen axis, stable
         // (doc_id, span_idx) tiebreak, one shuffle keyed by node
-        val axisByNode = mapOf(_.onX); val threshByNode = mapOf(_.t)
-        val av = axisVal(axisByNode(col("__node")))
+        val axisByNode = lookupOf(_.onX, BooleanType, "axis")
+        val threshByNode = lookupOf(_.t, LongType, "thresh")
+        val av = axisVal(axisByNode)
         val w = Window.partitionBy(col("__node"))
           .orderBy(av.asc, col("doc_id").asc, col("span_idx").asc)
         cur = cur
           .withColumn("__rank", row_number().over(w) - 1)
           .withColumn("__node",
-            // leaf-node rows (no entry in the decision maps) keep their node
-            when(threshByNode(col("__node")).isNull, col("__node"))
-              .when(col("__rank") < threshByNode(col("__node")), col("__node") * 2 + 1)
+            // leaf-node rows (no entry in the decision tables) keep their node
+            when(threshByNode.isNull, col("__node"))
+              .when(col("__rank") < threshByNode, col("__node") * 2 + 1)
               .otherwise(col("__node") * 2 + 2))
           .drop("__rank")
       } else {
@@ -177,12 +188,14 @@ object TileOps {
       val needCut = splits.filter(s => s.t > 0 && s.t < s.n)
       var cutRows: Array[org.apache.spark.sql.Row] = Array.empty
       if (needCut.nonEmpty) {
-        val onXM = mapOf(_.onX); val vLoM = mapOf(_.vLo); val vHiM = mapOf(_.vHi)
-        val av = axisVal(onXM(col("__node")))
+        val onXM = lookupOf(_.onX, BooleanType, "onx")
+        val vLoM = lookupOf(_.vLo, DoubleType, "vlo")
+        val vHiM = lookupOf(_.vHi, DoubleType, "vhi")
+        val av = axisVal(onXM)
         val cnt = cur.filter(col("__node").isin(needCut.map(_.id).toSeq: _*))
           .groupBy(col("__node"))
-          .agg(sum(when(av < vLoM(col("__node")), 1L).otherwise(0L)).as("c_lo"),
-            sum(when(av >= vLoM(col("__node")) && av <= vHiM(col("__node")), 1L)
+          .agg(sum(when(av < vLoM, 1L).otherwise(0L)).as("c_lo"),
+            sum(when(av >= vLoM && av <= vHiM, 1L)
               .otherwise(0L)).as("c_in"))
           .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
         needCut.foreach { s =>
@@ -196,16 +209,18 @@ object TileOps {
           }
         }
         // C. exact rank among boundary rows only -> one cut key per node
-        val onXM2 = mapOf(_.onX); val vLoM2 = mapOf(_.vLo); val vHiM2 = mapOf(_.vHi)
-        val resM = mapOf(s => s.t - s.cLo)
-        val av2 = axisVal(onXM2(col("__node")))
+        val onXM2 = lookupOf(_.onX, BooleanType, "onx2")
+        val vLoM2 = lookupOf(_.vLo, DoubleType, "vlo2")
+        val vHiM2 = lookupOf(_.vHi, DoubleType, "vhi2")
+        val resM = lookupOf(s => s.t - s.cLo, LongType, "res")
+        val av2 = axisVal(onXM2)
         val wB = Window.partitionBy(col("__node"))
           .orderBy(av2.asc, col("doc_id").asc, col("span_idx").asc)
         cutRows = cur
           .filter(col("__node").isin(needCut.map(_.id).toSeq: _*))
-          .filter(av2 >= vLoM2(col("__node")) && av2 <= vHiM2(col("__node")))
+          .filter(av2 >= vLoM2 && av2 <= vHiM2)
           .withColumn("__brank", row_number().over(wB))
-          .filter(col("__brank") === resM(col("__node")))
+          .filter(col("__brank") === resM)
           .select(col("__node"), av2.as("__cut_a"), col("doc_id"), col("span_idx"))
           .collect()
         require(cutRows.length == needCut.length,
@@ -217,24 +232,23 @@ object TileOps {
       // +inf (t == n, everything left) or -inf (t == 0, everything
       // right); equality with an infinity never fires, so their missing
       // doc/span entries (null comparisons -> false) are unreachable.
-      val cutAEntries =
-        cutRows.flatMap(r => Seq(lit(r.getLong(0)), lit(r.getDouble(1)))).toSeq ++
-          splits.filter(s => s.t == 0 || s.t == s.n).flatMap(s =>
-            Seq(lit(s.id), lit(if (s.t == s.n) Double.PositiveInfinity
-              else Double.NegativeInfinity)))
-      val cutA = map(cutAEntries: _*)
-      // -1L sentinel entry keeps the maps typed when cutRows is empty
-      // (node ids are always >= 0, so it never matches)
-      val cutD = map(Seq(lit(-1L), lit("")) ++ cutRows.flatMap(r =>
-        Seq(lit(r.getLong(0)), lit(r.getString(2)))): _*)
-      val cutS = map(Seq(lit(-1L), lit(0)) ++ cutRows.flatMap(r =>
-        Seq(lit(r.getLong(0)), lit(r.getInt(3)))): _*)
-      val a = cutA(col("__node"))
-      val av3 = axisVal(mapOf(_.onX)(col("__node")))
+      val cutAEntries: Seq[(Long, Any)] =
+        cutRows.map(r => r.getLong(0) -> (r.getDouble(1): Any)).toSeq ++
+          splits.filter(s => s.t == 0 || s.t == s.n).map(s =>
+            s.id -> ((if (s.t == s.n) Double.PositiveInfinity
+              else Double.NegativeInfinity): Any))
+      val a = SpatialFunctions.longLookup(col("__node"), cutAEntries,
+        DoubleType, "cuta")
+      val cutD = SpatialFunctions.longLookup(col("__node"),
+        cutRows.map(r => r.getLong(0) -> (r.getString(2): Any)).toSeq,
+        StringType, "cutd")
+      val cutS = SpatialFunctions.longLookup(col("__node"),
+        cutRows.map(r => r.getLong(0) -> (r.getInt(3): Any)).toSeq,
+        IntegerType, "cuts")
+      val av3 = axisVal(lookupOf(_.onX, BooleanType, "onx3"))
       val goLeft = av3 < a ||
-        (av3 === a && (col("doc_id") < cutD(col("__node")) ||
-          (col("doc_id") === cutD(col("__node")) &&
-            col("span_idx") <= cutS(col("__node")))))
+        (av3 === a && (col("doc_id") < cutD ||
+          (col("doc_id") === cutD && col("span_idx") <= cutS)))
       cur = cur.withColumn("__node",
         // leaf-node rows (no entry in the maps) keep their node
         when(a.isNull, col("__node"))
@@ -254,12 +268,12 @@ object TileOps {
     }
     // chip ordinal = leaf's pl (partition index) — contiguous 0..m-1;
     // join the assignment back onto the full-width rows
-    val chipByNode = map(nodes.toSeq.flatMap { case (id, nd) =>
-      Seq(lit(id), lit(nd.pl)) }: _*)
+    val chipByNode = SpatialFunctions.longLookup(col("__node"),
+      nodes.toSeq.map { case (id, nd) => id -> (nd.pl: Any) },
+      IntegerType, "chip")
     val assignment = cur.select(col("doc_id"), col("span_idx"),
-      chipByNode(col("__node")).as("chip")).localCheckpoint(eager = true)
+      chipByNode.as("chip")).localCheckpoint(eager = true)
     df0.join(assignment, Seq("doc_id", "span_idx"))
-    } finally df.unpersist()
   }
 
   /** Approximate chipper — the scale path promised in SCALE.md: same
@@ -271,13 +285,14 @@ object TileOps {
     * Chip sizes are within the quantile sketch's error of the exact
     * sizes; use [[chipper]] when exact reference parity matters. */
   def chipperApprox(capacity: Long)(df0: DataFrame): DataFrame = {
-    val df = df0.cache() // released in finally; see chipper
-    try {
-    val total = df.count()
-    if (total == 0) return df.withColumn("chip", lit(0L))
+    // narrow eager checkpoint of the working set — see chipper for why
+    // this replaces a full-width columnar cache of df0
+    val work = df0.select(col("doc_id"), col("span_idx"), col("x"), col("y"))
+      .localCheckpoint()
+    val total = work.count()
+    if (total == 0) return df0.withColumn("chip", lit(0L))
 
-    var cur = df.select(col("doc_id"), col("span_idx"), col("x"), col("y"))
-      .withColumn("__node", lit(0L))
+    var cur = work.withColumn("__node", lit(0L))
     var active = true
     var round = 0
     // nodes that might still split: root, then only the children of the
@@ -310,14 +325,17 @@ object TileOps {
       activeNodes = splits.toSeq.flatMap { case (id, _, _) => Seq(id * 2 + 1, id * 2 + 2) }
       if (splits.isEmpty) active = false
       else {
-        val axisByNode = map(splits.toSeq.flatMap { case (id, ax, _) =>
-          Seq(lit(id), lit(ax)) }: _*)
-        val cutByNode = map(splits.toSeq.flatMap { case (id, _, c) =>
-          Seq(lit(id), lit(c)) }: _*)
-        val axisVal = when(axisByNode(col("__node")), col("x")).otherwise(col("y"))
+        // hash-table lookups, not map(lit...) trees — see chipper
+        val axisByNode = SpatialFunctions.longLookup(col("__node"),
+          splits.toSeq.map { case (id, ax, _) => id -> (ax: Any) },
+          BooleanType, "axis")
+        val cutByNode = SpatialFunctions.longLookup(col("__node"),
+          splits.toSeq.map { case (id, _, c) => id -> (c: Any) },
+          DoubleType, "cut")
+        val axisVal = when(axisByNode, col("x")).otherwise(col("y"))
         cur = cur.withColumn("__node",
-          when(cutByNode(col("__node")).isNull, col("__node"))
-            .when(axisVal < cutByNode(col("__node")), col("__node") * 2 + 1)
+          when(cutByNode.isNull, col("__node"))
+            .when(axisVal < cutByNode, col("__node") * 2 + 1)
             .otherwise(col("__node") * 2 + 2))
           .localCheckpoint(eager = false)
       }
@@ -327,7 +345,6 @@ object TileOps {
       cur.select(col("doc_id"), col("span_idx"), col("__node").as("chip"))
         .localCheckpoint(eager = true),
       Seq("doc_id", "span_idx"))
-    } finally df.unpersist()
   }
 
   /** writers.rialto's LOD pyramid (RialtoCommon.cpp:79-94): level L of a
