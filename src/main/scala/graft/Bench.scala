@@ -45,6 +45,11 @@ object Bench {
       w.groupBy("k").agg(sum("id"), count(lit(1))).count()
       w.withColumn("rn", row_number().over(
         Window.partitionBy(col("k")).orderBy(col("id")))).filter(col("rn") === 1).count()
+      // quantile-sketch machinery (chipperApprox medians): the
+      // QuantileSummaries insert/compress path is interpreter-slow until
+      // C2 compiles it — a session constant, not per-query work
+      w.groupBy("k").agg(percentile_approx(col("id").cast("double"),
+        lit(0.5), lit(250))).count()
       spark.read.parquet(s"$sfDir/region.parquet").count()
     }
     val t0 = System.nanoTime()

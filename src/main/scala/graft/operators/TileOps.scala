@@ -279,11 +279,22 @@ object TileOps {
   /** Approximate chipper — the scale path promised in SCALE.md: same
     * contract (chips ≈ capacity, spatially contiguous, squarish splits
     * along the wider axis) but split positions come from per-node
-    * approximate MEDIANS computed for all still-splittable nodes in ONE
-    * aggregate per round, and assignment is a map-only comparison
+    * approximate MEDIANS, and assignment is a map-only comparison
     * against broadcast cut values — no rank window, no per-node sort.
     * Chip sizes are within the quantile sketch's error of the exact
-    * sizes; use [[chipper]] when exact reference parity matters. */
+    * sizes; use [[chipper]] when exact reference parity matters.
+    *
+    * Per-round shape (two jobs, both shrinking):
+    *   1. COUNT per active node — a plain codegen'd hash aggregate;
+    *      nodes at or under capacity settle, the rest split.
+    *   2. median sketch of ONLY the splitting nodes' rows, on ONE axis
+    *      per node (the wider side of the node's driver-carried bbox) —
+    *      the sketch never runs over settled data, and the final
+    *      confirmation round degenerates to the count aggregate alone.
+    * Node bboxes are carried on the driver (root from one min/max pass;
+    * a split at cut c on axis a gives children the parent bbox with the
+    * a-range cut at c) — conservative supersets of the true data bounds,
+    * which only affects which axis is called "wider", never sizes. */
   def chipperApprox(capacity: Long)(df0: DataFrame): DataFrame = {
     // narrow eager checkpoint of the working set — see chipper for why
     // this replaces a full-width columnar cache of df0
@@ -293,52 +304,62 @@ object TileOps {
     if (total == 0) return df0.withColumn("chip", lit(0L))
 
     var cur = work.withColumn("__node", lit(0L))
+    val rb = work.agg(min("x"), max("x"), min("y"), max("y")).head()
+    // node id -> (minx, maxx, miny, maxy), driver-resident; O(#chips)
+    var bounds = Map(0L -> (rb.getDouble(0), rb.getDouble(1),
+      rb.getDouble(2), rb.getDouble(3)))
     var active = true
     var round = 0
-    // nodes that might still split: root, then only the children of the
-    // nodes split last round. Restricting the per-round stats aggregate
-    // to them skips the (expensive) percentile sketches for every
-    // already-finished node's rows — most of the data after a few rounds.
     var activeNodes: Seq[Long] = Seq(0L)
     val maxRounds = 64 - java.lang.Long.numberOfLeadingZeros(
       math.max(1, total / capacity)) + 3
+    val dbg = sys.env.contains("GRAFT_KNN_DEBUG")
     while (active && round < maxRounds) {
+      val tRound = System.nanoTime()
+      // 1. cheap per-node counts over only the still-active subtree
       val statsSrc =
         if (activeNodes.size <= 4096) cur.filter(col("__node").isin(activeNodes: _*))
         else cur
-      // only the MEDIAN drives a split: one scalar sketch per axis, not
-      // a percentile grid (same sketch error bound, fraction of the work)
-      val stats = statsSrc.groupBy(col("__node")).agg(
-        count(lit(1)).as("n"),
-        min("x").as("mnx"), max("x").as("mxx"),
-        min("y").as("mny"), max("y").as("mxy"),
-        expr(s"approx_percentile(x, 0.5D, 1000)").as("qx"),
-        expr(s"approx_percentile(y, 0.5D, 1000)").as("qy"))
-        .collect()
-      val splits = stats.filter(_.getAs[Long]("n") > capacity).map { r =>
-        val id = r.getAs[Long]("__node")
-        val onX = (r.getAs[Double]("mxx") - r.getAs[Double]("mnx")) >
-          (r.getAs[Double]("mxy") - r.getAs[Double]("mny"))
-        val cut = r.getAs[Double](if (onX) "qx" else "qy")
-        (id, onX, cut)
-      }
-      activeNodes = splits.toSeq.flatMap { case (id, _, _) => Seq(id * 2 + 1, id * 2 + 2) }
-      if (splits.isEmpty) active = false
+      val counts = statsSrc.groupBy(col("__node"))
+        .agg(count(lit(1)).as("n")).collect()
+        .map(r => r.getLong(0) -> r.getLong(1))
+      val splitIds = counts.filter(_._2 > capacity).map(_._1)
+      if (splitIds.isEmpty) active = false
       else {
-        // hash-table lookups, not map(lit...) trees — see chipper
-        val axisByNode = SpatialFunctions.longLookup(col("__node"),
-          splits.toSeq.map { case (id, ax, _) => id -> (ax: Any) },
+        // 2. wider-axis median for splitting nodes only, one value per row
+        val axisOf: Seq[(Long, Any)] = splitIds.toSeq.map { id =>
+          val (mnx, mxx, mny, mxy) = bounds(id)
+          id -> (((mxx - mnx) > (mxy - mny)): Any)
+        }
+        val axisByNode = SpatialFunctions.longLookup(col("__node"), axisOf,
           BooleanType, "axis")
-        val cutByNode = SpatialFunctions.longLookup(col("__node"),
-          splits.toSeq.map { case (id, _, c) => id -> (c: Any) },
-          DoubleType, "cut")
         val axisVal = when(axisByNode, col("x")).otherwise(col("y"))
+        val cuts = cur.filter(col("__node").isin(splitIds: _*))
+          .groupBy(col("__node"))
+          .agg(percentile_approx(axisVal, lit(0.5), lit(250)).as("cut"))
+          .collect().map(r => r.getLong(0) -> r.getDouble(1))
+        val cutByNode = SpatialFunctions.longLookup(col("__node"),
+          cuts.toSeq.map { case (id, c) => id -> (c: Any) }, DoubleType, "cut")
         cur = cur.withColumn("__node",
           when(cutByNode.isNull, col("__node"))
             .when(axisVal < cutByNode, col("__node") * 2 + 1)
             .otherwise(col("__node") * 2 + 2))
           .localCheckpoint(eager = false)
+        val axisMap = axisOf.toMap
+        cuts.foreach { case (id, c) =>
+          val (mnx, mxx, mny, mxy) = bounds(id)
+          if (axisMap(id).asInstanceOf[Boolean]) {
+            bounds += (id * 2 + 1) -> (mnx, c, mny, mxy)
+            bounds += (id * 2 + 2) -> (c, mxx, mny, mxy)
+          } else {
+            bounds += (id * 2 + 1) -> (mnx, mxx, mny, c)
+            bounds += (id * 2 + 2) -> (mnx, mxx, c, mxy)
+          }
+        }
+        activeNodes = splitIds.toSeq.flatMap(id => Seq(id * 2 + 1, id * 2 + 2))
       }
+      if (dbg) println(f"[chipperApprox] round $round (${activeNodes.size} " +
+        f"next-active): ${(System.nanoTime() - tRound) / 1e9}%.2fs")
       round += 1
     }
     df0.join(
