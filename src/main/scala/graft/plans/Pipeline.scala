@@ -6,7 +6,7 @@ import org.json4s._
 import org.json4s.jackson.JsonMethods
 
 import graft.operators._
-import graft.sources.{DocSynth, Faux, LasDecode, LasWriter}
+import graft.sources.{DocSynth, Faux, LasDecode, LasWriter, Ply}
 import graft.model.Model
 import graft.index.CellSpace
 
@@ -97,6 +97,11 @@ object Pipeline {
             .getOrElse(throw new IllegalArgumentException("readers.doc needs path or sf_dir")))
         }
         Model.explodePoints(docs)
+      case "readers.ply" =>
+        // one task per file for globs; driver decode for one fixture
+        val p = st.str("path").get
+        if (p.exists("*?[".contains(_))) Ply.asDistributedDataFrame(spark, p)
+        else Ply.asDataFrame(spark, p)
       case "readers.parquet" =>
         spark.read.parquet(st.str("path").get)
       case "readers.faux" =>
@@ -297,6 +302,12 @@ object Pipeline {
         }
         val w = d.write.mode("overwrite")
         (if (byTile.nonEmpty) w.partitionBy(byTile: _*) else w).parquet(st.str("path").get)
+        d
+      case "writers.ply" =>
+        val d = st.strs("order_by").filter(_.nonEmpty)
+          .map(cs => in.get.orderBy(cs.map(col): _*)).getOrElse(in.get)
+        Ply.write(st.str("path").get, d,
+          st.str("format").getOrElse("ascii"))
         d
       case "writers.las" =>
         // optional deterministic file order (a LAS byte stream is
