@@ -6,7 +6,7 @@ import org.json4s._
 import org.json4s.jackson.JsonMethods
 
 import graft.operators._
-import graft.sources.{DocSynth, Faux, LasDecode, LasWriter, Ply}
+import graft.sources.{DocSynth, Faux, LasDecode, LasWriter, Ply, Qfit, Sbet, Terrasolid}
 import graft.model.Model
 import graft.index.CellSpace
 
@@ -104,6 +104,21 @@ object Pipeline {
         else Ply.asDataFrame(spark, p)
       case "readers.parquet" =>
         spark.read.parquet(st.str("path").get)
+      case "readers.sbet" =>
+        val p = st.str("path").get
+        if (p.exists("*?[".contains(_))) Sbet.asDistributedDataFrame(spark, p)
+        else Sbet.asDataFrame(spark, p)
+      case "readers.qfit" =>
+        val p = st.str("path").get
+        val flip = st.bool("flip_coordinates").getOrElse(true)
+        val sz = st.dbl("scale_z").getOrElse(0.001)
+        if (p.exists("*?[".contains(_)))
+          Qfit.asDistributedDataFrame(spark, p, flip, sz)
+        else Qfit.asDataFrame(spark, p, flip, sz)
+      case "readers.terrasolid" =>
+        val p = st.str("path").get
+        if (p.exists("*?[".contains(_))) Terrasolid.asDistributedDataFrame(spark, p)
+        else Terrasolid.asDataFrame(spark, p)
       case "readers.faux" =>
         val b = st.dbls("bounds").map(a => Faux.Box3(a(0), a(1), a(2), a(3), a(4), a(5)))
           .getOrElse(Faux.Box3(0, 0, 0, 1, 1, 1))
@@ -309,6 +324,9 @@ object Pipeline {
         Ply.write(st.str("path").get, d,
           st.str("format").getOrElse("ascii"))
         d
+      case "writers.sbet" =>
+        Sbet.write(st.str("path").get, in.get)
+        in.get
       case "writers.las" =>
         // optional deterministic file order (a LAS byte stream is
         // sequential; unordered writes are iterator-order)
