@@ -6,7 +6,7 @@ import org.json4s._
 import org.json4s.jackson.JsonMethods
 
 import graft.operators._
-import graft.sources.{DocSynth, Faux, LasDecode, LasWriter, Ply, Qfit, Sbet, Terrasolid}
+import graft.sources.{DocSynth, Faux, LasDecode, LasWriter, Optech, Ply, Qfit, Sbet, Terrasolid}
 import graft.model.Model
 import graft.index.CellSpace
 
@@ -119,6 +119,10 @@ object Pipeline {
         val p = st.str("path").get
         if (p.exists("*?[".contains(_))) Terrasolid.asDistributedDataFrame(spark, p)
         else Terrasolid.asDataFrame(spark, p)
+      case "readers.optech" =>
+        val p = st.str("path").get
+        if (p.exists("*?[".contains(_))) Optech.asDistributedDataFrame(spark, p)
+        else Optech.asDataFrame(spark, p)
       case "readers.faux" =>
         val b = st.dbls("bounds").map(a => Faux.Box3(a(0), a(1), a(2), a(3), a(4), a(5)))
           .getOrElse(Faux.Box3(0, 0, 0, 1, 1, 1))

@@ -154,6 +154,42 @@ class TrajectorySpec extends AnyFunSuite {
     assert(e.getMessage.contains("970401"))
   }
 
+  test("optech csd header golden (OptechReaderTest.cpp:52-78)") {
+    val bytes = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$RefData/optech/sample.csd"))
+    val h = graft.sources.Optech.header(bytes)
+    assert(h.signature === "CSD")
+    assert(h.vendorId === "Optech Incorporated")
+    assert(h.softwareVersion === "DASHMap")
+    assert(h.formatVersion === 5.2010002f)
+    assert(h.headerSize === 2048)
+    assert(h.gpsWeek === 1660)
+    assert(h.minTime === 575644.74484563898)
+    assert(h.maxTime === 575644.75883187703)
+    assert(h.numRecords === 1000L)
+    assert(h.numStrips === 1)
+    assert(h.misalignmentAngles === Seq(0.028000000000000001, 0.014, 0.002))
+    assert(h.imuOffsets === Seq(0.002250602070446688,
+      -0.0021128955924643355, 0.0054852207731677788))
+    assert(h.temperature === 13.0)
+    assert(h.pressure === 1026.75)
+  }
+
+  test("optech csd point golden (OptechReaderTest.cpp:81-105)") {
+    val df = graft.sources.Optech.asDataFrame(spark, s"$RefData/optech/sample.csd")
+    assert(df.count() === 1000)
+    val r = df.orderBy("span_idx").head()
+    assert(approx(r.getAs[Double]("x"), -82.554028877408555, 1e-12))
+    assert(approx(r.getAs[Double]("y"), 36.534611447321907, 1e-12))
+    assert(approx(r.getAs[Double]("z"), 344.80889224602356, 1e-9))
+    assert(r.getAs[Double]("gpstime") === 5.756447448456390e5)
+    assert(r.getAs[Short]("return_number") === 1)
+    assert(r.getAs[Short]("number_of_returns") === 1)
+    assert(approx(r.getAs[Double]("echo_range"), 8.27356689453125e2))
+    assert(r.getAs[Int]("intensity") === 384)
+    assert(approx(r.getAs[Double]("scan_angle_rank"), -14.55516, 1e-5))
+  }
+
   test("pipeline wiring: readers.sbet|qfit|terrasolid and writers.sbet run") {
     val dir = java.nio.file.Files.createTempDirectory("trajpipe").toString
     val json =
