@@ -6,7 +6,7 @@ import org.json4s._
 import org.json4s.jackson.JsonMethods
 
 import graft.operators._
-import graft.sources.{DocSynth, Faux, LasDecode, LasWriter, Optech, Ply, Qfit, Sbet, Terrasolid}
+import graft.sources.{Bpf, DocSynth, Faux, LasDecode, LasWriter, Optech, Ply, Qfit, Sbet, Terrasolid}
 import graft.model.Model
 import graft.index.CellSpace
 
@@ -104,6 +104,10 @@ object Pipeline {
         else Ply.asDataFrame(spark, p)
       case "readers.parquet" =>
         spark.read.parquet(st.str("path").get)
+      case "readers.bpf" =>
+        val p = st.str("path").get
+        if (p.exists("*?[".contains(_))) Bpf.asDistributedDataFrame(spark, p)
+        else Bpf.asDataFrame(spark, p, st.int("count").getOrElse(Int.MaxValue))
       case "readers.sbet" =>
         val p = st.str("path").get
         if (p.exists("*?[".contains(_))) Sbet.asDistributedDataFrame(spark, p)
@@ -331,6 +335,19 @@ object Pipeline {
       case "writers.sbet" =>
         Sbet.write(st.str("path").get, in.get)
         in.get
+      case "writers.bpf" =>
+        val d = st.strs("order_by").filter(_.nonEmpty)
+          .map(cs => in.get.orderBy(cs.map(col): _*)).getOrElse(in.get)
+        val fmt = st.str("format").getOrElse("dimension").toUpperCase match {
+          case f if f.contains("POINT") => Bpf.PointMajor
+          case f if f.contains("BYTE")  => Bpf.ByteMajor
+          case _                        => Bpf.DimMajor
+        }
+        Bpf.write(st.str("path").get, d, Bpf.WriteOpts(
+          format = fmt,
+          compression = st.bool("compression").getOrElse(false),
+          coordId = st.int("coord_id").getOrElse(0)))
+        d
       case "writers.las" =>
         // optional deterministic file order (a LAS byte stream is
         // sequential; unordered writes are iterator-order)

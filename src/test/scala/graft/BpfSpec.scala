@@ -1,0 +1,152 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalactic.Tolerance._
+import org.apache.spark.sql.Row
+import graft.sources.Bpf
+import graft.plans.Pipeline
+
+/** readers.bpf / writers.bpf against the reference's own BPF v3
+  * fixtures and goldens (test/unit/io/bpf/BPFTest.cpp):
+  *  - the 506-cap read of the chipped-25 autzen cloud with pinned first
+  *    three points, across all three interleavings, uncompressed and
+  *    zlib-deflate (BPFTest.cpp test_file_type / test_*_zlib);
+  *  - the FastLZ fixtures decode bit-identically to their uncompressed
+  *    twin through the clean-room FastLZ decompressor (external ground
+  *    truth — the reference itself never reads these);
+  *  - QuickInfo (inspect) golden for autzen-dd.bpf (BPFTest.cpp inspect);
+  *  - write->read round-trips for every format x compression and the
+  *    scaled/offset variant (BPFTest.cpp roundtrip_*).
+  */
+class BpfSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private val B = s"$RefData/bpf"
+  private def tmpDir = java.nio.file.Files.createTempDirectory("bpf-spec").toString
+
+  // BPFTest.cpp test_file_type: first three points of the 506-cap read
+  private val golden = Seq(
+    (494057.312f, 4877433.5f, 130.630005f),
+    (494133.812f, 4877440.0f, 130.440002f),
+    (494021.094f, 4877440.0f, 130.460007f))
+
+  private def checkFileType(path: String): Unit = {
+    val df = Bpf.asDataFrame(spark, path, count = 506)
+    assert(df.count() === 506)
+    val first = df.orderBy("span_idx").select("x", "y", "z").limit(3).collect()
+    first.zip(golden).foreach { case (r, (gx, gy, gz)) =>
+      assert(r.getDouble(0).toFloat === gx)
+      assert(r.getDouble(1).toFloat === gy)
+      assert(r.getDouble(2).toFloat === gz)
+    }
+  }
+
+  test("point-major / dim-major / byte-major fixtures hit the 506-point golden") {
+    checkFileType(s"$B/autzen-utm-chipped-25-v3-interleaved.bpf")
+    checkFileType(s"$B/autzen-utm-chipped-25-v3.bpf")
+    checkFileType(s"$B/autzen-utm-chipped-25-v3-segregated.bpf")
+  }
+
+  test("zlib-deflate variants of all three interleavings hit the same golden") {
+    checkFileType(s"$B/autzen-utm-chipped-25-v3-deflate-interleaved.bpf")
+    checkFileType(s"$B/autzen-utm-chipped-25-v3-deflate.bpf")
+    checkFileType(s"$B/autzen-utm-chipped-25-v3-deflate-segregated.bpf")
+  }
+
+  test("fastlz variants decode identically to the uncompressed twin (clean-room FastLZ)") {
+    val want = Bpf.asDataFrame(spark, s"$B/autzen-utm-chipped-25-v3.bpf")
+      .drop("doc_id").orderBy("span_idx").collect().toSeq
+    for (f <- Seq("autzen-utm-chipped-25-v3-fastlz.bpf",
+                  "autzen-utm-chipped-25-v3-fastlz-interleaved.bpf",
+                  "autzen-utm-chipped-25-v3-fastlz-segregated.bpf")) {
+      val got = Bpf.asDataFrame(spark, s"$B/$f")
+        .drop("doc_id").orderBy("span_idx").collect().toSeq
+      assert(got === want, s"$f differs from uncompressed twin")
+    }
+  }
+
+  test("quickInfo golden: autzen-dd.bpf header preview without a data scan") {
+    val qi = Bpf.quickInfo(s"$B/autzen-dd.bpf")
+    assert(qi.numPts === 1065)
+    assert(qi.srs === Some("EPSG:3261")) // coordId 1, string-concat like the reference
+    assert(qi.dimNames.sorted === Seq("Blue", "Classification", "GPSTime",
+      "Green", "Intensity", "Number of Returns", "Red", "Return Information",
+      "Return Number", "X", "Y", "Z"))
+    val (minx, maxx) = qi.bounds("X")
+    val (miny, maxy) = qi.bounds("Y")
+    val (minz, maxz) = qi.bounds("Z")
+    assert(minx === -13676090.610841721296 +- 1e-6)
+    assert(maxx === -13674705.011110275984 +- 1e-6)
+    assert(miny === 4894836.9556098170578 +- 1e-6)
+    assert(maxy === 4896224.6888861842453 +- 1e-6)
+    assert(minz === 123.93000030517578125 +- 1e-9)
+    assert(maxz === 178.7299957275390625 +- 1e-9)
+  }
+
+  private def assertClose(a: Seq[Row], b: Seq[Row], tol: Double): Unit = {
+    assert(a.size === b.size)
+    a.zip(b).foreach { case (ra, rb) =>
+      (2 until ra.size).foreach { i =>
+        val va = ra.get(i) match { case d: Double => d; case f: Float => f.toDouble }
+        val vb = rb.get(i) match { case d: Double => d; case f: Float => f.toDouble }
+        val scale = math.max(1.0, math.abs(va))
+        assert(math.abs(va - vb) <= tol * scale,
+          s"col $i: $va vs $vb (row ${ra.getInt(1)})")
+      }
+    }
+  }
+
+  test("round-trip: every format x compression re-reads within float precision") {
+    val src = Bpf.asDataFrame(spark, s"$B/autzen-utm-chipped-25-v3-interleaved.bpf")
+    val want = src.orderBy("span_idx").collect().toSeq
+    val dir = tmpDir
+    for (fmt <- Seq(Bpf.PointMajor, Bpf.DimMajor, Bpf.ByteMajor);
+         comp <- Seq(false, true)) {
+      val p = s"$dir/rt-$fmt-$comp.bpf"
+      Bpf.write(p, src, Bpf.WriteOpts(format = fmt, compression = comp))
+      val got = Bpf.asDataFrame(spark, p).orderBy("span_idx").collect().toSeq
+      // one float32 quantization hop per value (the fixture holds exact
+      // float32s, so the re-write is in fact exact)
+      assertClose(got, want, 1e-6)
+    }
+  }
+
+  test("round-trip with explicit scale/offset (BPFTest roundtrip_scaling)") {
+    val src = Bpf.asDataFrame(spark, s"$B/autzen-utm-chipped-25-v3-interleaved.bpf")
+    val want = src.orderBy("span_idx").collect().toSeq
+    val p = s"$tmpDir/rt-scaled.bpf"
+    Bpf.write(p, src, Bpf.WriteOpts(format = Bpf.PointMajor,
+      offsetX = 494000.0, offsetY = 487000.0, offsetZ = 130.0,
+      scaleX = .001, scaleY = .01, scaleZ = 10.0))
+    val got = Bpf.asDataFrame(spark, p).orderBy("span_idx").collect().toSeq
+    // scaling pushes values through float32 at a different magnitude —
+    // EXPECT_FLOAT_EQ-grade tolerance
+    assertClose(got, want, 1e-5)
+  }
+
+  test("distributed glob ingest equals driver decode") {
+    val driver = Bpf.asDataFrame(spark, s"$B/autzen-utm-chipped-25-v3.bpf")
+      .orderBy("span_idx").collect().toSeq
+    val dist = Bpf.asDistributedDataFrame(spark, s"$B/autzen-utm-chipped-25-v3.bpf")
+      .orderBy("span_idx").collect().toSeq
+    assert(dist === driver)
+  }
+
+  test("pipeline: readers.bpf -> filters.range -> writers.bpf") {
+    val dir = tmpDir
+    val out = s"$dir/out.bpf"
+    val spec = s"""{"pipeline":[
+      {"type":"readers.bpf","path":"$B/autzen-utm-chipped-25-v3.bpf"},
+      {"type":"filters.range","limits":[{"dimension":"z","min":120.0,"max":131.0}]},
+      {"type":"writers.bpf","path":"$out","format":"point","order_by":["span_idx"]}
+    ]}"""
+    val df = Pipeline.run(spark, spec).df
+    val n = df.count()
+    assert(n > 0 && n < 1065)
+    val back = Bpf.asDataFrame(spark, out)
+    assert(back.count() === n)
+    import org.apache.spark.sql.functions._
+    val mx = back.agg(max("z")).head().getDouble(0)
+    assert(mx <= 131.0 + 1e-4)
+  }
+}
