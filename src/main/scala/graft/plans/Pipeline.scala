@@ -6,7 +6,7 @@ import org.json4s._
 import org.json4s.jackson.JsonMethods
 
 import graft.operators._
-import graft.sources.{Bpf, DocSynth, Faux, LasDecode, LasWriter, Optech, Ply, Qfit, Sbet, Terrasolid}
+import graft.sources.{Bpf, DocSynth, Faux, LasDecode, LasWriter, Optech, Pcd, Ply, Qfit, Sbet, Terrasolid}
 import graft.model.Model
 import graft.index.CellSpace
 
@@ -104,6 +104,10 @@ object Pipeline {
         else Ply.asDataFrame(spark, p)
       case "readers.parquet" =>
         spark.read.parquet(st.str("path").get)
+      case "readers.pcd" =>
+        val p = st.str("path").get
+        if (p.exists("*?[".contains(_))) Pcd.asDistributedDataFrame(spark, p)
+        else Pcd.asDataFrame(spark, p)
       case "readers.bpf" =>
         val p = st.str("path").get
         if (p.exists("*?[".contains(_))) Bpf.asDistributedDataFrame(spark, p)
@@ -335,6 +339,16 @@ object Pipeline {
       case "writers.sbet" =>
         Sbet.write(st.str("path").get, in.get)
         in.get
+      case "writers.pcd" =>
+        val d = st.strs("order_by").filter(_.nonEmpty)
+          .map(cs => in.get.orderBy(cs.map(col): _*)).getOrElse(in.get)
+        // compression=true mirrors the reference's binary_compressed path
+        val mode = st.str("data").getOrElse(
+          if (st.bool("compression").getOrElse(false)) "binary_compressed"
+          else "ascii")
+        Pcd.write(st.str("path").get, d, mode,
+          st.bool("shift_origin").getOrElse(false))
+        d
       case "writers.bpf" =>
         val d = st.strs("order_by").filter(_.nonEmpty)
           .map(cs => in.get.orderBy(cs.map(col): _*)).getOrElse(in.get)
