@@ -130,6 +130,27 @@ object Bench {
           require(n == expected, s"layered decode got $n of $expected points")
         }
       }),
+      // BPF v3 archive ingest: 16 zlib dim-major shards decoded in
+      // parallel (one task per file) by the clean-room BPF codec
+      "x_bpf_ingest_16shards" -> (() => {
+        import org.apache.spark.sql.functions._
+        val dir = java.nio.file.Files.createTempDirectory("graftbpfbench").toString
+        val src = graft.model.Model.explodePoints(
+            graft.sources.DocSynth.cachedDocs(spark, sfDir))
+          .withColumn("shard", pmod(col("span_idx") + length(col("doc_id")), lit(16)))
+          .localCheckpoint()
+        (0 until 16).foreach { s =>
+          graft.sources.Bpf.write(s"$dir/shard-$s.bpf",
+            src.filter(col("shard") === s).drop("shard"),
+            graft.sources.Bpf.WriteOpts(format = graft.sources.Bpf.DimMajor,
+              compression = true))
+        }
+        val expected = src.count()
+        () => {
+          val n = graft.sources.Bpf.asDistributedDataFrame(spark, s"$dir/*.bpf").count()
+          require(n == expected, s"bpf ingest decoded $n of $expected points")
+        }
+      }),
       // SELECTIVE DECOMPRESSION on the same layered archive: an x/y/z
       // query decodes 2 of 11 layers — the codec-level column pruning
       // a 100 TB spatial scan lives on (compare with the full decode

@@ -287,6 +287,10 @@ object Pipeline {
         JoinOps.statisticalOutlierRemoval(st.int("mean_k").getOrElse(8),
           st.dbl("multiplier").getOrElse(2.0),
           st.int("level").getOrElse(JoinOps.AutoLevel), space(st))(in.get)
+      case "filters.smooth" =>
+        SmoothOps.mlsSmooth(st.dbl("radius").getOrElse(1.0),
+          st.int("level").getOrElse(8),
+          st.int("polynomial_order").getOrElse(2), space(st))(in.get)
       case "filters.merge" =>
         in.get // n-ary merge handled by the runner (union of its inputs)
       case "filters.lod" =>

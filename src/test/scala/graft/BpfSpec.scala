@@ -124,6 +124,44 @@ class BpfSpec extends AnyFunSuite {
     assertClose(got, want, 1e-5)
   }
 
+  test("legacy v1 header (BpfHeader readV1): static X/Y/Z dims + aux table, dim-major") {
+    // hand-built per BpfHeader.cpp readV1: [i32 len][i32 ver][i32 numPts]
+    // [i32 numAux][i32 coordType][i32 coordId][f32 spacing], X/Y/Z
+    // offset/min/max triplets, then the aux dim table; v1 => dim-major
+    import java.nio.{ByteBuffer, ByteOrder}
+    val pts = Seq((1.5f, 2.5f, 3.5f, 10f), (4.5f, 5.5f, 6.5f, 20f),
+      (7.5f, 8.5f, 9.5f, 30f))
+    val numAux = 1
+    val headerLen = 28 + 3 * 24 + numAux * (8 * 3 + 32)
+    val bb = ByteBuffer.allocate(headerLen + pts.size * 4 * 4)
+      .order(ByteOrder.LITTLE_ENDIAN)
+    bb.putInt(headerLen).putInt(1).putInt(pts.size).putInt(numAux)
+    bb.putInt(1).putInt(10).putFloat(0f)
+    Seq(100.0, 200.0, 300.0).foreach(bb.putDouble) // offsets
+    Seq(101.5, 202.5, 303.5).foreach(bb.putDouble) // mins
+    Seq(107.5, 208.5, 309.5).foreach(bb.putDouble) // maxs
+    bb.putDouble(0.0); bb.putDouble(10.0); bb.putDouble(30.0) // aux off/min/max
+    bb.put(java.util.Arrays.copyOf("Intensity".getBytes, 32))
+    // dim-major planes: X, Y, Z, Intensity
+    pts.foreach(p => bb.putFloat(p._1))
+    pts.foreach(p => bb.putFloat(p._2))
+    pts.foreach(p => bb.putFloat(p._3))
+    pts.foreach(p => bb.putFloat(p._4))
+    val dir = tmpDir
+    val p = s"$dir/legacy1.bpf"
+    java.nio.file.Files.write(java.nio.file.Paths.get(p), bb.array())
+    val df = Bpf.asDataFrame(spark, p)
+    assert(df.columns.toSeq === Seq("doc_id", "span_idx", "x", "y", "z", "intensity"))
+    val rows = df.orderBy("span_idx").collect()
+    assert(rows.length === 3)
+    assert(rows(0).getAs[Double]("x") === 101.5 +- 1e-9) // 1.5 + offset 100
+    assert(rows(1).getAs[Double]("y") === 205.5 +- 1e-9)
+    assert(rows(2).getAs[Double]("z") === 309.5 +- 1e-9)
+    assert(rows(2).getAs[Float]("intensity") === 30f)
+    val qi = Bpf.quickInfo(p)
+    assert(qi.numPts === 3 && qi.srs === Some("EPSG:32610"))
+  }
+
   test("distributed glob ingest equals driver decode") {
     val driver = Bpf.asDataFrame(spark, s"$B/autzen-utm-chipped-25-v3.bpf")
       .orderBy("span_idx").collect().toSeq
