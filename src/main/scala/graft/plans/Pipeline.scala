@@ -361,10 +361,14 @@ object Pipeline {
           case f if f.contains("BYTE")  => Bpf.ByteMajor
           case _                        => Bpf.DimMajor
         }
-        Bpf.write(st.str("path").get, d, Bpf.WriteOpts(
+        val bpfOpts = Bpf.WriteOpts(
           format = fmt,
           compression = st.bool("compression").getOrElse(false),
-          coordId = st.int("coord_id").getOrElse(0)))
+          coordId = st.int("coord_id").getOrElse(0))
+        st.str("shard_column") match {
+          case Some(sc) => Bpf.writeSharded(st.str("path").get, d, sc, bpfOpts)
+          case None => Bpf.write(st.str("path").get, d, bpfOpts)
+        }
         d
       case "writers.las" =>
         // optional deterministic file order (a LAS byte stream is

@@ -214,7 +214,8 @@ object Bpf {
       java.util.Arrays.copyOfRange(bytes, h.len, h.len + want.toInt)
     } else {
       require(h.compression == 2 || h.compression == 3,
-        s"bpf: compression ${h.compression} (QuickLZ) unsupported")
+        s"bpf: compression enum ${h.compression} unsupported " +
+          "(1=QuickLZ has no public spec; only FastLZ=2 and Zlib=3 decode)")
       val out = new Array[Byte](want.toInt)
       val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
       var pos = h.len
@@ -383,21 +384,23 @@ object Bpf {
       scaleX: Double = 1.0, scaleY: Double = 1.0, scaleZ: Double = 1.0,
       offsetX: Double = 0.0, offsetY: Double = 0.0, offsetZ: Double = 0.0)
 
-  /** Write the DataFrame's numeric columns as one BPF v3 file (driver
-    * collect — fixture-scale by intent, like Ply.write; shard per tile
-    * upstream for volume). x/y/z are required and written first as
-    * labels X/Y/Z; the header is back-patched with the point count and
-    * per-dimension raw min/max after the data pass (BpfWriter::done). */
-  def write(path: String, df: DataFrame, opts: WriteOpts = WriteOpts()): Unit = {
-    val numeric = df.schema.fields.filter(f => f.dataType match {
-      case _: NumericType => f.name != "span_idx"
-      case _ => false
-    })
-    val names = numeric.map(_.name)
+  /** The column set a BPF write serializes: every numeric column except
+    * the span ordinal, x/y/z first (they become labels X/Y/Z). */
+  def writeColumns(schema: StructType): Seq[String] = {
+    val names = schema.fields.collect {
+      case f if f.dataType.isInstanceOf[NumericType] && f.name != "span_idx" =>
+        f.name
+    }.toSeq
     require(Seq("x", "y", "z").forall(names.contains),
       "bpf: missing one of dimensions x, y or z — can't write BPF")
-    val ordered = Seq("x", "y", "z") ++ names.filterNot(Seq("x", "y", "z").contains)
-    val rows = df.selectExpr(ordered.map(n => s"cast(`$n` as double)"): _*).collect()
+    Seq("x", "y", "z") ++ names.filterNot(Seq("x", "y", "z").contains)
+  }
+
+  /** Build one complete BPF v3 image for `rows` (one double per ordered
+    * column each). Shared by the driver writer and the sharded executor
+    * writer. */
+  def imageBytes(ordered: Seq[String], rows: Array[Array[Double]],
+                 opts: WriteOpts): Array[Byte] = {
     val nDim = ordered.size
     val n = rows.length
 
@@ -409,8 +412,8 @@ object Bpf {
 
     // adjusted float value per BpfWriter::getAdjustedValue: track raw
     // min/max, divide X/Y/Z by scale, subtract the dimension offset
-    def adjusted(r: Row, d: Int): Float = {
-      val raw = r.getDouble(d)
+    def adjusted(r: Array[Double], d: Int): Float = {
+      val raw = r(d)
       if (raw < mins(d)) mins(d) = raw
       if (raw > maxs(d)) maxs(d) = raw
       val scaled = if (d < 3) raw / scales(d) else raw
@@ -506,7 +509,88 @@ object Bpf {
       hdr.put(padded)
     }
 
-    val fos = new java.io.BufferedOutputStream(new java.io.FileOutputStream(path))
-    try { fos.write(hdr.array()); out.writeTo(fos) } finally fos.close()
+    val img = new java.io.ByteArrayOutputStream(headerLen + out.size())
+    img.write(hdr.array()); out.writeTo(img)
+    img.toByteArray
+  }
+
+  /** Write the DataFrame's numeric columns as one BPF v3 file (driver
+    * collect — fixture-scale by intent, like Ply.write; use
+    * [[writeSharded]] for volume). x/y/z are required and written first
+    * as labels X/Y/Z; the header carries the point count and
+    * per-dimension raw min/max gathered in the data pass
+    * (BpfWriter::done back-patches the same way). */
+  def write(path: String, df: DataFrame, opts: WriteOpts = WriteOpts()): Unit = {
+    val ordered = writeColumns(df.schema)
+    val rows = df.selectExpr(ordered.map(n => s"cast(`$n` as double)"): _*)
+      .collect().map(r => Array.tabulate(ordered.size)(r.getDouble))
+    java.nio.file.Files.write(java.nio.file.Paths.get(path),
+      imageBytes(ordered, rows, opts))
+  }
+
+  /** Executor-sharded BPF export: one .bpf file per distinct value of
+    * `shardCol`, written by the executors (no driver funnel). A shard is
+    * one tile/chip — the chipper/splitter capacity bounds the per-shard
+    * buffer, exactly the discipline the reference's DB block writers
+    * prescribe (chip upstream, then write blocks). Scheme'd destinations
+    * publish two-phase (task-local temp -> `.inprogress` upload ->
+    * rename), like LasWriter.writeSharded. Returns shard file names. */
+  def writeSharded(dir: String, df: DataFrame, shardCol: String,
+                   opts: WriteOpts = WriteOpts(), numTasks: Int = 0): Seq[String] = {
+    import org.apache.spark.sql.functions.col
+    val hasScheme = dir.matches("[a-zA-Z][a-zA-Z0-9+.-]*:/.*")
+    if (hasScheme) {
+      val p = new org.apache.hadoop.fs.Path(dir)
+      p.getFileSystem(new org.apache.hadoop.conf.Configuration()).mkdirs(p)
+    } else java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    val ordered = writeColumns(df.schema)
+    val cols = df.columns
+    require(cols.contains(shardCol), s"shard column $shardCol not in ${cols.mkString(",")}")
+    val tasks = if (numTasks > 0) numTasks
+                else df.sparkSession.sparkContext.defaultParallelism
+    val sortKeys = (Seq(shardCol) ++ Seq("doc_id", "span_idx").filter(cols.contains))
+      .map(col)
+    val slim = df
+      .selectExpr((shardCol +: Seq("doc_id", "span_idx").filter(cols.contains))
+        .map(n => s"`$n`") ++ ordered.map(n => s"cast(`$n` as double) as `__v_$n`"): _*)
+      .repartition(tasks, col(shardCol))
+      .sortWithinPartitions(sortKeys: _*)
+    val valIdx = ordered.indices.map(_ + slim.columns.length - ordered.size)
+    import org.apache.spark.sql.Encoders
+    val names = slim.mapPartitions { it =>
+      def publish(name: String, bytes: Array[Byte]): Unit =
+        if (hasScheme) {
+          val tmp = java.io.File.createTempFile("graftbpf", name)
+          java.nio.file.Files.write(tmp.toPath, bytes)
+          val destDir = new org.apache.hadoop.fs.Path(dir)
+          val fs = destDir.getFileSystem(new org.apache.hadoop.conf.Configuration())
+          val tmpDst = new org.apache.hadoop.fs.Path(destDir, name + ".inprogress")
+          val dst = new org.apache.hadoop.fs.Path(destDir, name)
+          fs.copyFromLocalFile(false, true,
+            new org.apache.hadoop.fs.Path(tmp.toURI), tmpDst)
+          if (fs.exists(dst)) fs.delete(dst, false)
+          require(fs.rename(tmpDst, dst), s"two-phase rename failed for $name")
+          tmp.delete(); ()
+        } else java.nio.file.Files.write(
+          java.nio.file.Paths.get(s"$dir/$name"), bytes)
+
+      var cur: Any = null
+      var buf = scala.collection.mutable.ArrayBuffer.empty[Array[Double]]
+      var written = List.empty[String]
+      def close(): Unit = if (cur != null && buf.nonEmpty) {
+        val name = s"shard_$cur.bpf"
+        publish(name, imageBytes(ordered, buf.toArray, opts))
+        written ::= name
+        buf = scala.collection.mutable.ArrayBuffer.empty[Array[Double]]
+      }
+      it.foreach { r =>
+        val shard = r.get(0)
+        if (shard != cur) { close(); cur = shard }
+        buf += valIdx.map(r.getDouble).toArray
+      }
+      close()
+      written.iterator
+    }(Encoders.STRING).collect().toSeq
+    names
   }
 }

@@ -170,6 +170,42 @@ class BpfSpec extends AnyFunSuite {
     assert(dist === driver)
   }
 
+  test("executor-sharded write: 4 shards re-decode to the full cloud, file: URI two-phase") {
+    import org.apache.spark.sql.functions._
+    val src = Bpf.asDataFrame(spark, s"$B/autzen-utm-chipped-25-v3.bpf")
+      .withColumn("shard", pmod(col("span_idx"), lit(4)))
+    // shard files re-index spans per shard, so compare order-free
+    // aggregate invariants (one float32 re-quantization hop of slack)
+    def sig(d: org.apache.spark.sql.DataFrame) = {
+      val r = d.agg(count(lit(1)), sum("x"), sum("z"), min("x"), max("x"),
+        min("z"), max("z"), sum("intensity")).head()
+      (r.getLong(0), r.getDouble(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5), r.getDouble(6))
+    }
+    val want = sig(src)
+    for (scheme <- Seq(false, true)) {
+      val dir0 = tmpDir
+      val dir = if (scheme) s"file:$dir0" else dir0
+      val names = Bpf.writeSharded(dir, src, "shard",
+        Bpf.WriteOpts(format = Bpf.DimMajor, compression = true))
+      assert(names.size === 4)
+      val back = Bpf.asDistributedDataFrame(spark, s"$dir0/*.bpf")
+      val got = sig(back)
+      // float32 half-ulp at |x|~5e5 is ~0.016; at |z|~130 it's ~8e-6
+      assert(got._1 === want._1)
+      assert(got._2 === want._2 +- 0.016 * want._1)
+      assert(got._3 === want._3 +- 1e-5 * want._1)
+      assert(got._4 === want._4 +- 0.02)
+      assert(got._5 === want._5 +- 0.02)
+      assert(got._6 === want._6 +- 1e-4)
+      assert(got._7 === want._7 +- 1e-4)
+      // no .inprogress residue from the two-phase publish
+      val residue = new java.io.File(dir0).listFiles()
+        .filter(_.getName.endsWith(".inprogress"))
+      assert(residue.isEmpty)
+    }
+  }
+
   test("pipeline: readers.bpf -> filters.range -> writers.bpf") {
     val dir = tmpDir
     val out = s"$dir/out.bpf"
