@@ -110,8 +110,9 @@ object Pipeline {
         else Pcd.asDataFrame(spark, p)
       case "readers.bpf" =>
         val p = st.str("path").get
-        if (p.exists("*?[".contains(_))) Bpf.asDistributedDataFrame(spark, p)
-        else Bpf.asDataFrame(spark, p, st.int("count").getOrElse(Int.MaxValue))
+        val cols = st.strs("columns").getOrElse(Nil)
+        if (p.exists("*?[".contains(_))) Bpf.asDistributedDataFrame(spark, p, cols)
+        else Bpf.asDataFrame(spark, p, st.int("count").getOrElse(Int.MaxValue), cols)
       case "readers.sbet" =>
         val p = st.str("path").get
         if (p.exists("*?[".contains(_))) Sbet.asDistributedDataFrame(spark, p)

@@ -204,10 +204,23 @@ object Bpf {
 
   /** Inflate/decode the (possibly compressed) data section into one raw
     * float buffer of numPts*numDims little-endian float32s in the file's
-    * native interleave order. */
-  def dataSection(bytes: Array[Byte], h: Header): Array[Byte] = {
+    * native interleave order.
+    *
+    * `needed` (byte ranges in the DECOMPRESSED image, sorted) enables
+    * SELECTIVE DECOMPRESSION: every block carries its own independent
+    * zlib/FastLZ stream, so blocks whose output interval misses all
+    * needed ranges are skipped without decoding — in dim-major and
+    * byte-major layouts a dimension is a contiguous plane, so a pruned
+    * column skips its whole block(s) (the BPF twin of the layered-LAZ
+    * selective layer decode). Skipped regions stay zero. */
+  def dataSection(bytes: Array[Byte], h: Header,
+                  needed: Option[Seq[(Long, Long)]] = None): Array[Byte] = {
     val want = h.numPts.toLong * h.dims.size * 4
     require(want <= Int.MaxValue, s"bpf: ${h.numPts} points overflow a buffer — shard the file")
+    def overlaps(a: Long, b: Long): Boolean = needed match {
+      case None => true
+      case Some(rs) => rs.exists { case (s, e) => s < b && a < e }
+    }
     if (h.compression == 0) {
       require(bytes.length - h.len >= want,
         s"bpf: truncated data section (${bytes.length - h.len} of $want bytes)")
@@ -226,7 +239,9 @@ object Bpf {
         pos += 8
         require(fin > 0 && comp > 0 && pos + comp <= bytes.length,
           s"bpf: bad compression block at $pos (final=$fin comp=$comp)")
-        if (h.compression == 3) {
+        if (!overlaps(at, at + fin.toLong)) {
+          // pruned: this block's entire output lies in unneeded planes
+        } else if (h.compression == 3) {
           val inf = new Inflater()
           inf.setInput(bytes, pos, comp)
           var produced = 0
@@ -263,21 +278,47 @@ object Bpf {
     case other => other.trim.toLowerCase.replaceAll("\\s+", "_")
   }
 
-  def schemaOf(h: Header): StructType = StructType(
-    StructField("doc_id", StringType, nullable = false) +:
-    StructField("span_idx", IntegerType, nullable = false) +:
-    h.dims.map { d =>
-      val n = colName(d.label)
-      val dt = if (n == "x" || n == "y" || n == "z") DoubleType else FloatType
-      StructField(n, dt, nullable = false)
-    })
+  /** Dim indices a column selection needs decoded: the requested ones
+    * plus X/Y/Z (the Mueller transform couples them). Nil = all. */
+  private def keptDims(h: Header, columns: Seq[String]): Array[Boolean] =
+    if (columns.isEmpty) Array.fill(h.dims.size)(true)
+    else {
+      val want = columns.toSet ++ Set("x", "y", "z")
+      h.dims.map(d => want.contains(colName(d.label))).toArray
+    }
+
+  def schemaOf(h: Header, columns: Seq[String] = Nil): StructType = {
+    val keep = keptDims(h, columns)
+    val sel = columns.toSet
+    StructType(
+      StructField("doc_id", StringType, nullable = false) +:
+      StructField("span_idx", IntegerType, nullable = false) +:
+      h.dims.zipWithIndex.collect {
+        case (d, i) if keep(i) &&
+            (columns.isEmpty || sel.contains(colName(d.label)) ||
+             Seq("x", "y", "z").contains(colName(d.label))) =>
+          val n = colName(d.label)
+          val dt = if (n == "x" || n == "y" || n == "z") DoubleType else FloatType
+          StructField(n, dt, nullable = false)
+      })
+  }
 
   /** Decode one BPF image to rows of [[schemaOf]]. `count` caps the
-    * points read (the reference reader's `count` option). */
+    * points read (the reference reader's `count` option). `columns`
+    * prunes output dimensions — in dim/byte-major layouts the pruned
+    * dimensions' compression blocks are never even decompressed
+    * ([[dataSection]]); x/y/z always decode (the Mueller transform
+    * couples them). */
   def decode(bytes: Array[Byte], docId: String,
-             count: Int = Int.MaxValue): (StructType, Seq[Row]) = {
+             count: Int = Int.MaxValue,
+             columns: Seq[String] = Nil): (StructType, Seq[Row]) = {
     val h = readHeader(bytes)
-    val data = dataSection(bytes, h)
+    val keep = keptDims(h, columns)
+    val needed: Option[Seq[(Long, Long)]] =
+      if (columns.isEmpty || h.interleave == PointMajor) None
+      else Some(h.dims.indices.collect { case d if keep(d) =>
+        (d.toLong * h.numPts * 4, (d + 1).toLong * h.numPts * 4) })
+    val data = dataSection(bytes, h, needed)
     val bb = ByteBuffer.wrap(data).order(ByteOrder.LITTLE_ENDIAN)
     val nDim = h.dims.size
     val n = math.min(h.numPts, count)
@@ -286,7 +327,13 @@ object Bpf {
     val zi = h.dims.indexWhere(_.label == "Z")
     val offs = h.dims.map(_.offset).toArray
     val m = h.xform
-    val schema = schemaOf(h)
+    val schema = schemaOf(h, columns)
+    val emit = h.dims.indices.filter { d =>
+      keep(d) && (columns.isEmpty || {
+        val cn = colName(h.dims(d).label)
+        columns.contains(cn) || Seq("x", "y", "z").contains(cn)
+      })
+    }.toArray
 
     def rawAt(d: Int, i: Int): Float = h.interleave match {
       case PointMajor => bb.getFloat((i.toLong * nDim + d).toInt * 4)
@@ -308,7 +355,7 @@ object Bpf {
       val vals = new Array[Any](nDim)
       var d = 0
       while (d < nDim) {
-        vals(d) = rawAt(d, i) + offs(d)
+        if (keep(d)) vals(d) = rawAt(d, i) + offs(d)
         d += 1
       }
       // Mueller transform on X/Y/Z with the reference's sequential
@@ -320,17 +367,18 @@ object Bpf {
       x = (x * m(0) + y * m(1) + z * m(2) + m(3)) / w
       y = (x * m(4) + y * m(5) + z * m(6) + m(7)) / w
       z = (x * m(8) + y * m(9) + z * m(10) + m(11)) / w
-      val out = new Array[Any](nDim + 2)
+      val out = new Array[Any](emit.length + 2)
       out(0) = docId
       out(1) = i
-      d = 0
-      while (d < nDim) {
-        out(d + 2) =
+      var e = 0
+      while (e < emit.length) {
+        val d = emit(e)
+        out(e + 2) =
           if (d == xi) x
           else if (d == yi) y
           else if (d == zi) z
           else anyToDouble(vals(d)).toFloat
-        d += 1
+        e += 1
       }
       Row.fromSeq(out.toIndexedSeq)
     }
@@ -344,18 +392,21 @@ object Bpf {
 
   /** Driver decode of one file (fixture-parity path). */
   def asDataFrame(spark: SparkSession, path: String,
-                  count: Int = Int.MaxValue): DataFrame = {
+                  count: Int = Int.MaxValue,
+                  columns: Seq[String] = Nil): DataFrame = {
     val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path))
     val docId = path.substring(path.lastIndexOf('/') + 1)
-    val (schema, rows) = decode(bytes, docId, count)
+    val (schema, rows) = decode(bytes, docId, count, columns)
     spark.createDataFrame(
       spark.sparkContext.parallelize(rows, math.max(1, rows.size / 100000)),
       schema)
   }
 
   /** Executor-parallel decode, one task per matched file. All files must
-    * share one dimension table (schema from the first). */
-  def asDistributedDataFrame(spark: SparkSession, pathGlob: String): DataFrame = {
+    * share one dimension table (schema from the first). `columns` prunes
+    * dimensions codec-side (selective block decompression). */
+  def asDistributedDataFrame(spark: SparkSession, pathGlob: String,
+                             columns: Seq[String] = Nil): DataFrame = {
     val slash = pathGlob.lastIndexOf('/')
     val (dir, leaf) =
       if (slash >= 0) (pathGlob.substring(0, slash), pathGlob.substring(slash + 1))
@@ -366,11 +417,11 @@ object Bpf {
       else reader.load(pathGlob))
       .select("path", "content")
     val first = bin.select("content").head().getAs[Array[Byte]](0)
-    val schema = schemaOf(readHeader(first))
+    val schema = schemaOf(readHeader(first), columns)
     val rdd = bin.rdd.flatMap { r =>
       val path = r.getString(0)
       val docId = path.substring(path.lastIndexOf('/') + 1)
-      decode(r.getAs[Array[Byte]](1), docId)._2
+      decode(r.getAs[Array[Byte]](1), docId, columns = columns)._2
     }
     spark.createDataFrame(rdd, schema)
   }

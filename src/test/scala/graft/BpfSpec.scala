@@ -206,6 +206,42 @@ class BpfSpec extends AnyFunSuite {
     }
   }
 
+  test("selective decode: pruned dimensions' blocks are never decompressed") {
+    import org.apache.spark.sql.functions._
+    val src = Bpf.asDataFrame(spark, s"$B/autzen-utm-chipped-25-v3.bpf")
+    val dir = tmpDir
+    val p = s"$dir/sel.bpf"
+    // dim-major + zlib: our writer emits exactly one block per dimension
+    Bpf.write(p, src, Bpf.WriteOpts(format = Bpf.DimMajor, compression = true))
+
+    // selective xyz decode equals the full decode's xyz columns
+    val full = Bpf.asDataFrame(spark, p).select("span_idx", "x", "y", "z")
+      .orderBy("span_idx").collect().toSeq
+    val sel = Bpf.asDataFrame(spark, p, columns = Seq("x", "y", "z"))
+    assert(sel.columns.toSeq === Seq("doc_id", "span_idx", "x", "y", "z"))
+    assert(sel.select("span_idx", "x", "y", "z").orderBy("span_idx")
+      .collect().toSeq === full)
+
+    // corrupt the 4th dimension's block payload (intensity): the
+    // selective path must not notice; the full decode must fail loudly
+    val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p))
+    val h = Bpf.readHeader(bytes)
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    var pos = h.len
+    (0 until 3).foreach { _ => pos += 8 + bb.getInt(pos + 4) }
+    val comp = bb.getInt(pos + 4)
+    (pos + 8 + comp / 3 until pos + 8 + comp).foreach(i =>
+      bytes(i) = (bytes(i) ^ 0x5a).toByte)
+    val pc = s"$dir/sel-corrupt.bpf"
+    java.nio.file.Files.write(java.nio.file.Paths.get(pc), bytes)
+    val selC = Bpf.asDataFrame(spark, pc, columns = Seq("x", "y", "z"))
+      .select("span_idx", "x", "y", "z").orderBy("span_idx").collect().toSeq
+    assert(selC === full, "selective decode touched a pruned block")
+    val boom = intercept[Exception] { Bpf.decode(bytes, "c") }
+    assert(boom.getMessage != null)
+  }
+
   test("pipeline: readers.bpf -> filters.range -> writers.bpf") {
     val dir = tmpDir
     val out = s"$dir/out.bpf"
