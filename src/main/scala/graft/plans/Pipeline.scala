@@ -6,7 +6,7 @@ import org.json4s._
 import org.json4s.jackson.JsonMethods
 
 import graft.operators._
-import graft.sources.{Bpf, DocSynth, Faux, LasDecode, LasWriter, Optech, Pcd, Ply, Qfit, Sbet, Terrasolid}
+import graft.sources.{Bpf, DocSynth, Faux, Icebridge, LasDecode, LasWriter, Optech, Pcd, Ply, Qfit, Sbet, Terrasolid}
 import graft.model.Model
 import graft.index.CellSpace
 
@@ -104,6 +104,10 @@ object Pipeline {
         else Ply.asDataFrame(spark, p)
       case "readers.parquet" =>
         spark.read.parquet(st.str("path").get)
+      case "readers.icebridge" =>
+        val p = st.str("path").get
+        if (p.exists("*?[".contains(_))) Icebridge.asDistributedDataFrame(spark, p)
+        else Icebridge.asDataFrame(spark, p)
       case "readers.pcd" =>
         val p = st.str("path").get
         if (p.exists("*?[".contains(_))) Pcd.asDistributedDataFrame(spark, p)
