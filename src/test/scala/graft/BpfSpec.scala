@@ -242,6 +242,18 @@ class BpfSpec extends AnyFunSuite {
     assert(boom.getMessage != null)
   }
 
+  test("empty cloud round-trips (0-point header, no data blocks)") {
+    val dir = tmpDir
+    val src = Bpf.asDataFrame(spark, s"$B/autzen-utm-chipped-25-v3.bpf").limit(0)
+    for (comp <- Seq(false, true)) {
+      val p = s"$dir/empty-$comp.bpf"
+      Bpf.write(p, src, Bpf.WriteOpts(format = Bpf.DimMajor, compression = comp))
+      val back = Bpf.asDataFrame(spark, p)
+      assert(back.count() === 0)
+      assert(Bpf.quickInfo(p).numPts === 0)
+    }
+  }
+
   test("pipeline: readers.bpf -> filters.range -> writers.bpf") {
     val dir = tmpDir
     val out = s"$dir/out.bpf"

@@ -111,6 +111,17 @@ class PcdSpec extends AnyFunSuite {
     assert(math.abs(spanX - 10.0) < 1e-3) // extent preserved, origin dropped
   }
 
+  test("empty cloud round-trips in all three DATA modes") {
+    val src = graft.sources.Faux.ramp(spark,
+      graft.sources.Faux.Box3(0, 0, 0, 1, 1, 1), 5).limit(0)
+    val dir = tmpDir
+    for (mode <- Seq("ascii", "binary", "binary_compressed")) {
+      val p = s"$dir/empty-$mode.pcd"
+      Pcd.write(p, src, mode)
+      assert(Pcd.asDataFrame(spark, p).count() === 0, mode)
+    }
+  }
+
   test("pipeline: readers.pcd -> filters.crop -> writers.pcd (compressed), distributed == driver") {
     val dir = tmpDir
     val seedPath = s"$dir/in.pcd"
