@@ -17,18 +17,25 @@ import org.apache.spark.sql.types._
   *  - version-1 object headers with continuation (0x0010) messages;
   *  - messages: dataspace (0x0001 v1), datatype (0x0003: fixed-point
   *    and IEEE-float classes, little/big endian), data layout (0x0008
-  *    v3, contiguous and compact classes);
+  *    v3: contiguous, compact, AND chunked classes), filter pipeline
+  *    (0x000B v1: deflate and the order-preserving shuffle filter);
+  *  - chunked data via the version-1 raw-data B-tree (node type 1),
+  *    per-chunk zlib inflate, edge-chunk clamping;
   *  - 1-D datasets of i8..i64/u8..u32/f32/f64 read into doubles.
   *
-  * Anything beyond that subset (chunked+filtered layouts, new-style
-  * fractal-heap groups, v2+ superblocks) fails loudly by design — the
-  * ATM1B product this reader exists for is plain contiguous vectors.
+  * Anything beyond that subset (new-style fractal-heap groups, v2+
+  * superblocks, other filters) fails loudly by design. Real NSIDC
+  * ATM1B granules are chunked+deflate 1-D vectors — exactly the
+  * chunked path; the reference's fixture is contiguous.
   */
 object Hdf5Lite {
 
+  final case class Chunked(btree: Long, chunkDims: Seq[Int])
   final case class Dataset(rank: Int, dims: Seq[Long], tclass: Int,
       tsize: Int, littleEndian: Boolean, signed: Boolean,
-      dataAt: Long, dataLen: Long, compact: Option[Array[Byte]])
+      dataAt: Long, dataLen: Long, compact: Option[Array[Byte]],
+      chunked: Option[Chunked] = None,
+      filters: Seq[Int] = Nil)
 
   final class File(val bytes: Array[Byte]) {
     private val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
@@ -128,6 +135,8 @@ object Hdf5Lite {
       var tclass = -1; var tsize = 0; var le = true; var signed = true
       var dataAt = -1L; var dataLen = -1L
       var compact: Option[Array[Byte]] = None
+      var chunked: Option[Chunked] = None
+      var filters: Seq[Int] = Nil
       msgs.foreach { case (t, body) =>
         val mb = ByteBuffer.wrap(body).order(ByteOrder.LITTLE_ENDIAN)
         t match {
@@ -150,16 +159,101 @@ object Hdf5Lite {
                 compact = Some(java.util.Arrays.copyOfRange(body, 4, 4 + n))
               case 1 =>
                 dataAt = mb.getLong(2); dataLen = mb.getLong(10)
+              case 2 => // chunked: dimensionality (= rank+1), btree addr,
+                // then dimensionality x u32 chunk dims (last = elem size)
+                val ndim = body(2) & 0xff
+                val bt = mb.getLong(3)
+                val cdims = (0 until ndim).map(i => mb.getInt(11 + 4 * i))
+                chunked = Some(Chunked(bt, cdims))
               case c => throw new IllegalArgumentException(
-                s"hdf5: layout class $c unsupported (contiguous/compact only — " +
-                  "chunked+filtered ATM1B granules are not a thing)")
+                s"hdf5: layout class $c unsupported")
             }
+          case 0x000B => // filter pipeline v1: nfilters, then per filter
+            // id(2) namelen(2) flags(2) nvalues(2) name(pad8) values(pad8)
+            require(body(0) == 1, s"hdf5: filter pipeline version ${body(0)}")
+            val nf = body(1) & 0xff
+            var p = 8
+            val ids = (0 until nf).map { _ =>
+              val id = mb.getShort(p) & 0xffff
+              val nameLen = mb.getShort(p + 2) & 0xffff
+              val nVals = mb.getShort(p + 6) & 0xffff
+              p += 8 + nameLen + 4 * nVals
+              if (nVals % 2 == 1) p += 4 // values padded to 8 bytes
+              id
+            }
+            filters = ids
+            // 1 = deflate, 2 = shuffle (byte transpose — order-preserving)
+            require(ids.forall(id => id == 1 || id == 2),
+              s"hdf5: unsupported filter ids ${ids.mkString(",")} (deflate/shuffle only)")
           case _ =>
         }
       }
-      require(rank >= 0 && tclass >= 0 && (dataAt >= 0 || compact.isDefined),
+      require(rank >= 0 && tclass >= 0 &&
+        (dataAt >= 0 || compact.isDefined || chunked.isDefined),
         s"hdf5: $path is not a readable dataset")
-      Dataset(rank, dims, tclass, tsize, le, signed, dataAt, dataLen, compact)
+      Dataset(rank, dims, tclass, tsize, le, signed, dataAt, dataLen,
+        compact, chunked, filters)
+    }
+
+    /** Raw element bytes of a chunked rank-1 dataset: walk the v1
+      * raw-data B-tree (node type 1), inflate each chunk, place it at
+      * its logical offset, clamp the edge chunk. */
+    private def chunkedBytes(d: Dataset): Array[Byte] = {
+      val ch = d.chunked.get
+      val n = d.dims.head
+      val elem = ch.chunkDims.last
+      require(elem == d.tsize, s"hdf5: chunk elem size $elem != type size ${d.tsize}")
+      val chunkRows = ch.chunkDims.head.toLong
+      val out = new Array[Byte]((n * d.tsize).toInt)
+      val keyLen = 8 + 8 * ch.chunkDims.size // size+mask + ndim offsets
+      def walk(addr: Long): Unit = {
+        val at = addr.toInt
+        require(new String(bytes, at, 4, StandardCharsets.US_ASCII) == "TREE",
+          "hdf5: bad raw-data B-tree signature")
+        require(bytes(at + 4) == 1, "hdf5: B-tree node type != raw data")
+        val level = bytes(at + 5) & 0xff
+        val nEnt = bb.getShort(at + 6) & 0xffff
+        var p = at + 24 // past siblings
+        (0 until nEnt).foreach { _ =>
+          val chunkBytes = bb.getInt(p)
+          val rowOff = bb.getLong(p + 8) // first (slowest) dim offset
+          val child = bb.getLong(p + keyLen)
+          if (level > 0) walk(child)
+          else {
+            val raw = java.util.Arrays.copyOfRange(
+              bytes, child.toInt, child.toInt + chunkBytes)
+            var data = if (d.filters.contains(1)) {
+              val inf = new java.util.zip.Inflater()
+              inf.setInput(raw)
+              val buf = new Array[Byte]((chunkRows * d.tsize).toInt)
+              var m = 0
+              while (!inf.finished() && m < buf.length)
+                m += inf.inflate(buf, m, buf.length - m)
+              inf.end()
+              java.util.Arrays.copyOf(buf, m)
+            } else raw
+            if (d.filters.contains(2)) { // shuffle: de-transpose bytes
+              val rows = data.length / d.tsize
+              val un = new Array[Byte](data.length)
+              var i = 0
+              while (i < rows) {
+                var b = 0
+                while (b < d.tsize) {
+                  un(i * d.tsize + b) = data(b * rows + i); b += 1
+                }
+                i += 1
+              }
+              data = un
+            }
+            val dstOff = (rowOff * d.tsize).toInt
+            val len = math.min(data.length.toLong, out.length - dstOff.toLong).toInt
+            if (len > 0) System.arraycopy(data, 0, out, dstOff, len)
+          }
+          p += keyLen + 8
+        }
+      }
+      walk(ch.btree)
+      out
     }
 
     /** Read a rank-1 dataset as doubles. */
@@ -167,8 +261,10 @@ object Hdf5Lite {
       val d = dataset(path)
       require(d.rank == 1, s"hdf5: $path has rank ${d.rank}, want 1")
       val n = d.dims.head.toInt
-      val raw = d.compact.getOrElse(
-        java.util.Arrays.copyOfRange(bytes, d.dataAt.toInt, (d.dataAt + d.dataLen).toInt))
+      val raw =
+        if (d.chunked.isDefined) chunkedBytes(d)
+        else d.compact.getOrElse(
+          java.util.Arrays.copyOfRange(bytes, d.dataAt.toInt, (d.dataAt + d.dataLen).toInt))
       val rb = ByteBuffer.wrap(raw)
         .order(if (d.littleEndian) ByteOrder.LITTLE_ENDIAN else ByteOrder.BIG_ENDIAN)
       Array.tabulate(n) { i =>

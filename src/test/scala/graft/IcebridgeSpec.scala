@@ -49,6 +49,91 @@ class IcebridgeSpec extends AnyFunSuite {
     assert(graft.plans.Pipeline.run(spark, spec).df.count() === 1)
   }
 
+  test("chunked + shuffle + deflate dataset decodes (real-granule layout)") {
+    // Hand-assembled minimal HDF5 per the public format spec: one rank-1
+    // f32 dataset "v" of 7 values in 3-row chunks, shuffle+deflate
+    // filtered (the layout real NSIDC ATM1B granules use). The builder
+    // doubles as the fixture source — same encoder-first discipline as
+    // the LAZ codec (no h5py in-sandbox).
+    import java.nio.{ByteBuffer, ByteOrder}
+    val values = Array(1.5f, -2.25f, 3.0f, 4.5f, 5.75f, -6.125f, 7.0f)
+    def chunkBytes(rows: Array[Float]): Array[Byte] = {
+      // full 3-row chunk (edge padded with fill), shuffle then deflate
+      val full = java.util.Arrays.copyOf(rows, 3)
+      val raw = new Array[Byte](12)
+      val rb = ByteBuffer.wrap(raw).order(ByteOrder.LITTLE_ENDIAN)
+      full.foreach(rb.putFloat)
+      val shuffled = new Array[Byte](12)
+      for (i <- 0 until 3; b <- 0 until 4) shuffled(b * 3 + i) = raw(i * 4 + b)
+      val defl = new java.util.zip.Deflater()
+      defl.setInput(shuffled); defl.finish()
+      val buf = new Array[Byte](64)
+      var m = 0
+      while (!defl.finished()) m += defl.deflate(buf, m, buf.length - m)
+      defl.end()
+      java.util.Arrays.copyOf(buf, m)
+    }
+    val chunks = Seq(values.slice(0, 3), values.slice(3, 6), values.slice(6, 7))
+      .map(chunkBytes)
+
+    val img = ByteBuffer.allocate(4096).order(ByteOrder.LITTLE_ENDIAN)
+    def at(pos: Int): ByteBuffer = { img.position(pos); img }
+    val (heapA, snodA, btA, objA, cbtA) = (96, 256, 400, 512, 768)
+    val dataAt = 1024
+    // superblock v0
+    at(0).put(Array[Byte](0x89.toByte, 'H', 'D', 'F', '\r', '\n', 0x1a, '\n'))
+    img.put(0.toByte).put(0.toByte).put(0.toByte).put(0.toByte) // versions
+    img.put(0.toByte).put(8.toByte).put(8.toByte).put(0.toByte) // sizes
+    img.putShort(4).putShort(16).putInt(0)                      // k's, flags
+    img.putLong(0).putLong(-1L).putLong(4096L).putLong(-1L)     // base/fs/eof/driver
+    img.putLong(0).putLong(-1L).putInt(1).putInt(0)             // root entry (objhdr unused)
+    img.putLong(btA.toLong).putLong(heapA.toLong)                               // root scratch
+    // local heap: name "v" at data offset 8
+    at(heapA).put("HEAP".getBytes).put(0.toByte).put(Array[Byte](0, 0, 0))
+    img.putLong(16).putLong(0).putLong(heapA + 32)
+    at(heapA + 32).putLong(0).put('v'.toByte).put(0.toByte)
+    // group btree (type 0) -> SNOD
+    at(btA).put("TREE".getBytes).put(0.toByte).put(0.toByte).putShort(1)
+    img.putLong(-1L).putLong(-1L).putLong(0).putLong(snodA.toLong).putLong(0)
+    at(snodA).put("SNOD".getBytes).put(1.toByte).put(0.toByte).putShort(1)
+    img.putLong(8).putLong(objA.toLong).putInt(0).putInt(0)
+    img.putLong(0).putLong(0) // scratch
+    // dataset object header v1: dataspace, datatype, filters, layout
+    at(objA).put(1.toByte).put(0.toByte).putShort(4).putInt(1).putInt(128)
+    img.putInt(0) // alignment pad
+    img.putShort(0x0001).putShort(16).putInt(0)
+    img.put(1.toByte).put(1.toByte).put(0.toByte)
+      .put(Array[Byte](0, 0, 0, 0, 0)).putLong(7L)
+    img.putShort(0x0003).putShort(20).putInt(0)
+    img.put(0x11.toByte).put(0x20.toByte).put(0.toByte).put(0.toByte)
+    img.putInt(4).putShort(0).putShort(32).put(23.toByte).put(8.toByte)
+      .put(0.toByte).put(23.toByte).putInt(127)
+    img.putShort(0x000B).putShort(40).putInt(0)
+    img.put(1.toByte).put(2.toByte).put(Array[Byte](0, 0, 0, 0, 0, 0))
+    // odd value counts pad to 8 bytes (filter description alignment)
+    img.putShort(2).putShort(0).putShort(0).putShort(1).putInt(4).putInt(0) // shuffle
+    img.putShort(1).putShort(0).putShort(0).putShort(1).putInt(6).putInt(0) // deflate
+    img.putShort(0x0008).putShort(24).putInt(0)
+    img.put(3.toByte).put(2.toByte).put(2.toByte).putLong(cbtA.toLong)
+    img.putInt(3).putInt(4) // chunk dims: 3 rows x 4-byte elements
+    // raw-data btree (type 1): 3 entries, keyLen = 8 + 2*8 = 24
+    at(cbtA).put("TREE".getBytes).put(1.toByte).put(0.toByte).putShort(3)
+    img.putLong(-1L).putLong(-1L)
+    chunks.zipWithIndex.foreach { case (c, i) =>
+      img.putInt(c.length).putInt(0).putLong(3L * i).putLong(0L)
+      img.putLong(dataAt + 64 * i)
+    }
+    img.putInt(0).putInt(0).putLong(21L).putLong(0L) // final key
+    chunks.zipWithIndex.foreach { case (c, i) => at(dataAt + 64 * i).put(c) }
+
+    val dir = java.nio.file.Files.createTempDirectory("h5chunk")
+    val p = dir.resolve("chunked.h5")
+    java.nio.file.Files.write(p, img.array())
+    val f = new Hdf5Lite.File(java.nio.file.Files.readAllBytes(p))
+    val got = f.readVector("v")
+    assert(got.toSeq === values.map(_.toDouble).toSeq)
+  }
+
   test("parser fails loudly outside the supported subset") {
     val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(H5))
     val f = new Hdf5Lite.File(bytes)
