@@ -6,7 +6,7 @@ import org.json4s._
 import org.json4s.jackson.JsonMethods
 
 import graft.operators._
-import graft.sources.{Bpf, DocSynth, Faux, Icebridge, LasDecode, LasWriter, Optech, Pcd, Ply, Qfit, Sbet, Terrasolid}
+import graft.sources.{Bpf, DocSynth, Faux, Icebridge, LasDecode, LasWriter, Nitf, Optech, Pcd, Ply, Qfit, Sbet, Terrasolid}
 import graft.model.Model
 import graft.index.CellSpace
 
@@ -104,6 +104,10 @@ object Pipeline {
         else Ply.asDataFrame(spark, p)
       case "readers.parquet" =>
         spark.read.parquet(st.str("path").get)
+      case "readers.nitf" =>
+        val p = st.str("path").get
+        if (p.exists("*?[".contains(_))) Nitf.asDistributedDataFrame(spark, p)
+        else Nitf.asDataFrame(spark, p)
       case "readers.icebridge" =>
         val p = st.str("path").get
         if (p.exists("*?[".contains(_))) Icebridge.asDistributedDataFrame(spark, p)
@@ -348,6 +352,16 @@ object Pipeline {
       case "writers.sbet" =>
         Sbet.write(st.str("path").get, in.get)
         in.get
+      case "writers.nitf" =>
+        val d = st.strs("order_by").filter(_.nonEmpty)
+          .map(cs => in.get.orderBy(cs.map(col): _*)).getOrElse(in.get)
+        val xf = (st.dbls("scale"), st.dbls("offset")) match {
+          case (Some(s0), Some(o)) =>
+            LasWriter.XForms(s0(0), s0(1), s0(2), o(0), o(1), o(2))
+          case _ => LasWriter.XForms(0.01, 0.01, 0.01, 0, 0, 0)
+        }
+        Nitf.write(st.str("path").get, d, st.int("format").getOrElse(1), xf)
+        d
       case "writers.pcd" =>
         val d = st.strs("order_by").filter(_.nonEmpty)
           .map(cs => in.get.orderBy(cs.map(col): _*)).getOrElse(in.get)
