@@ -1,0 +1,151 @@
+package graft.plans
+
+import scala.xml.{Node, XML}
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+
+/** XML pipeline ingestion — the reference's native pipeline syntax
+  * (src/PipelineReader.cpp: boost-ptree XML with nested
+  * Reader/Filter/Writer stages built innermost-first, and `Option`
+  * elements that may carry nested child `Options`). Reference users
+  * carry .xml pipeline files; this translates them to the engine's
+  * JSON spec so `Pipeline.run` executes them unchanged:
+  *
+  *  - nested stage elements become tagged stages in post-order with
+  *    explicit `inputs` (the JSON DAG form);
+  *  - `@VAR@` placeholders substitute from a caller map (the fixtures'
+  *    CMAKE_SOURCE_DIR convention);
+  *  - option values are typed (ints/doubles/bools/strings) and the
+  *    era's spellings are normalized: `filename`->`path`, the per-axis
+  *    `([x0,x1],[y0,y1],[z0,z1])` bounds string -> the flat
+  *    [minx,miny,(minz),maxx,maxy,(maxz)] array, `filters.range`
+  *    repeated `dimension` options with min/max/equals children -> the
+  *    `limits` array, colorization `dimension` options with band/scale
+  *    children -> `bands` entries, `writers.text` -> `writers.csv`,
+  *    dimension names lowercased to engine column names;
+  *  - unknown options pass through typed (stage accessors ignore
+  *    extras), unknown stage types fail in the runner, loudly.
+  */
+object PipelineXml {
+
+  private def subst(text: String, vars: Map[String, String]): String =
+    vars.foldLeft(text) { case (t, (k, v)) => t.replace(s"@$k@", v) }
+
+  private final case class XOpt(name: String, value: String,
+                                children: Seq[(String, String)])
+
+  private def isStage(n: Node): Boolean =
+    Seq("Reader", "Filter", "Writer", "MultiFilter").contains(n.label)
+
+  /** Direct text of an element, excluding nested elements' text. */
+  private def ownText(n: Node): String =
+    n.child.collect { case t if t.isAtom => t.text }.mkString.trim
+
+  private def parseOpt(n: Node): XOpt = {
+    val children = (n \ "Options" \ "Option").map { c =>
+      ((c \@ "name"), ownText(c))
+    }
+    XOpt(n \@ "name", ownText(n), children.toSeq)
+  }
+
+  private val IntRe = "-?\\d+".r
+  private val NumRe = "-?\\d*\\.\\d+([eE][+-]?\\d+)?|-?\\d+[eE][+-]?\\d+".r
+  private def typed(v: String): JValue = v match {
+    case "true"  => JBool(true)
+    case "false" => JBool(false)
+    case IntRe() => JInt(BigInt(v))
+    case s if NumRe.pattern.matcher(s).matches() => JDouble(s.toDouble)
+    case s => JString(s)
+  }
+
+  private def colName(d: String): String =
+    d.trim.toLowerCase.replaceAll("\\s+", "_")
+
+  /** "([x0,x1],[y0,y1](,[z0,z1])?)" -> [minx,miny,(minz),maxx,maxy,(maxz)]. */
+  private def boundsArray(s: String): JArray = {
+    val pairs = "\\[([^\\]]*)\\]".r.findAllMatchIn(s).map { m =>
+      val Array(a, b) = m.group(1).split(",").map(_.trim.toDouble)
+      (a, b)
+    }.toSeq
+    require(pairs.size == 2 || pairs.size == 3,
+      s"pipeline-xml: bounds '$s' has ${pairs.size} axis ranges")
+    JArray((pairs.map(_._1) ++ pairs.map(_._2)).map(JDouble(_)).toList)
+  }
+
+  private def stageJson(typ0: String, opts: Seq[XOpt], tag: String,
+                        inputTags: Seq[String]): JObject = {
+    val typ = if (typ0 == "writers.text") "writers.csv" else typ0
+    var fields = List[(String, JValue)]("type" -> JString(typ), "tag" -> JString(tag))
+    if (inputTags.nonEmpty) fields :+= ("inputs" -> JArray(
+      inputTags.map(JString(_)).toList))
+
+    if (typ == "filters.range") {
+      val limits = opts.filter(_.name == "dimension").map { o =>
+        val kids = o.children.toMap
+        val eq = kids.get("equals").map(_.toDouble)
+        JObject(List(
+          "dimension" -> JString(colName(o.value))) ++
+          eq.map(v => List("min" -> JDouble(v), "max" -> JDouble(v)))
+            .getOrElse(
+              kids.get("min").map(v => "min" -> JDouble(v.toDouble)).toList ++
+              kids.get("max").map(v => "max" -> JDouble(v.toDouble)).toList))
+      }
+      fields :+= ("limits" -> JArray(limits.toList))
+    }
+    if (typ == "filters.colorization") {
+      val bands = opts.filter(_.name == "dimension").map { o =>
+        val kids = o.children.toMap
+        JString(s"${colName(o.value)}:${kids.getOrElse("band", "1")}:" +
+          kids.getOrElse("scale", "1"))
+      }
+      if (bands.nonEmpty) fields :+= ("bands" -> JArray(bands.toList))
+    }
+    opts.foreach { o =>
+      (typ, o.name) match {
+        case (_, "dimension") => // handled per-stage above
+        case (_, "filename") => fields :+= ("path" -> JString(o.value))
+        case ("filters.crop", "bounds") => fields :+= ("bounds" -> boundsArray(o.value))
+        case (_, n) => fields :+= (n -> typed(o.value))
+      }
+    }
+    JObject(fields)
+  }
+
+  /** Translate a reference XML pipeline document into the engine's JSON
+    * spec (runnable via [[Pipeline.run]]). */
+  def toJsonSpec(xmlText: String, vars: Map[String, String] = Map.empty,
+                 checkpointRoot: Option[String] = None): String = {
+    // drop the XML declaration before parsing: the reference's own
+    // fixtures carry `<?xml version="2.0"?>` (a typo its boost-ptree
+    // parser tolerated; strict parsers reject any version but 1.0)
+    val cleaned = xmlText.replaceFirst("(?s)^\\s*<\\?xml[^>]*\\?>", "")
+    val root = XML.loadString(subst(cleaned, vars))
+    require(root.label == "Pipeline", s"pipeline-xml: root <${root.label}>")
+    val terminals = root.child.filter(isStage)
+    require(terminals.size == 1,
+      s"pipeline-xml: expected one terminal stage, found ${terminals.size}")
+
+    val stages = scala.collection.mutable.ArrayBuffer.empty[JObject]
+    var nextTag = 0
+    def emit(n: Node): String = {
+      val inputs = n.child.filter(isStage).map(emit) // post-order: inputs first
+      val opts = (n \ "Option").map(parseOpt)
+      val tag = s"x$nextTag"; nextTag += 1
+      stages += stageJson(n \@ "type", opts.toSeq, tag, inputs.toSeq)
+      tag
+    }
+    emit(terminals.head)
+
+    val doc = JObject(List("pipeline" -> JArray(stages.toList)) ++
+      checkpointRoot.map(r => "checkpoint_root" -> JString(r)).toList)
+    JsonMethods.compact(JsonMethods.render(doc))
+  }
+
+  /** Convenience: translate an XML pipeline file and run it. */
+  def run(spark: org.apache.spark.sql.SparkSession, path: String,
+          vars: Map[String, String] = Map.empty): Pipeline.RunResult = {
+    val text = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(path)), java.nio.charset.StandardCharsets.UTF_8)
+    Pipeline.run(spark, toJsonSpec(text, vars))
+  }
+}

@@ -1,0 +1,62 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.plans.{Pipeline, PipelineXml}
+import graft.sources.LasDecode
+
+/** XML pipeline ingestion (the reference's native spec syntax,
+  * src/PipelineReader.cpp) run against the reference's own pipeline
+  * fixtures with @CMAKE_SOURCE_DIR@ substitution. */
+class PipelineXmlSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private val vars = Map("CMAKE_SOURCE_DIR" -> "/root/reference")
+  private def read(p: String): String = new String(
+    java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p)))
+
+  test("pipeline_read.xml.in: nested reader-inside-filter, per-axis bounds syntax") {
+    val out = PipelineXml.run(spark,
+      "/root/reference/test/data/pipeline/pipeline_read.xml.in", vars)
+    assert(out.df.count() === 1065) // the ([0,1e6],[0,1e6],[0,1e6]) box keeps all
+  }
+
+  test("range_z.xml.in: dimension option with nested min/max children + LAS writer") {
+    val tmp = java.nio.file.Files.createTempDirectory("xmlpipe").toString
+    val text = read("/root/reference/test/data/filters/range_z.xml.in")
+      .replace("@CMAKE_SOURCE_DIR@/test/temp", tmp)
+    val json = PipelineXml.toJsonSpec(text, vars)
+    assert(json.contains("\"limits\""))
+    assert(json.contains("\"dimension\":\"z\"")) // engine column casing
+    val out = Pipeline.run(spark, json)
+    val n = out.df.count()
+    assert(n > 0 && n < 1065)
+    // the written LAS re-decodes to exactly the ranged rows
+    val back = LasDecode.asDataFrame(spark, s"$tmp/only_z_400-500.las")
+    assert(back.count() === n)
+    val mm = back.agg(min("z"), max("z")).head()
+    assert(mm.getDouble(0) >= 400.0 - 1e-6 && mm.getDouble(1) <= 500.0 + 1e-6)
+    // equality with the direct JSON pipeline of the same semantics
+    val direct = Pipeline.run(spark, s"""{"pipeline":[
+      {"type":"readers.las","path":"/root/reference/test/data/las/1.2-with-color.las"},
+      {"type":"filters.range","limits":[{"dimension":"z","min":400,"max":500}]}
+    ]}""").df.count()
+    assert(direct === n)
+  }
+
+  test("pipeline_multioptions.xml.in: nested unknown Options tolerated") {
+    val out = PipelineXml.run(spark,
+      "/root/reference/test/data/pipeline/pipeline_multioptions.xml.in", vars)
+    assert(out.df.count() === 1065)
+  }
+
+  test("crop_wkt polygon option flows through (prefix of the fixture chain)") {
+    // the fixture's full chain writes LAS; here the polygon path itself:
+    // crop_wkt_2d.xml.in carries a 2-D WKT polygon option
+    val text = read("/root/reference/test/data/filters/crop_wkt_2d.xml.in")
+    val json = PipelineXml.toJsonSpec(
+      text.replace("@CMAKE_SOURCE_DIR@/test/temp",
+        java.nio.file.Files.createTempDirectory("xmlwkt").toString), vars)
+    assert(json.contains("\"polygon\""))
+  }
+}
