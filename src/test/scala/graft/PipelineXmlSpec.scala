@@ -50,6 +50,34 @@ class PipelineXmlSpec extends AnyFunSuite {
     assert(out.df.count() === 1065)
   }
 
+  test("fixture sweep: mississippi copy, compressed drop_color, chipper chain") {
+    val tmp = java.nio.file.Files.createTempDirectory("xmlsweep").toString
+
+    // pipeline_mississippi: plain read -> LAS write copy
+    val missOut = PipelineXml.toJsonSpec(
+      read("/root/reference/test/data/pipeline/pipeline_mississippi.xml.in")
+        .replace("@CMAKE_SOURCE_DIR@/test/temp", tmp), vars)
+    val nMiss = Pipeline.run(spark, missOut).df.count()
+    assert(nMiss > 0)
+    assert(LasDecode.asDataFrame(spark, s"$tmp/out2.las").count() === nMiss)
+
+    // drop_color: crop -> COMPRESSED .laz write through the XML path
+    val dropOut = PipelineXml.toJsonSpec(
+      read("/root/reference/test/data/pipeline/drop_color.xml.in")
+        .replace("@CMAKE_SOURCE_DIR@/test/temp", tmp), vars)
+    assert(Pipeline.run(spark, dropOut).df.count() === 1065)
+    assert(LasDecode.asDataFrame(spark, s"$tmp/pdal-compressed.laz").count() === 1065)
+
+    // chipper chain: chipper(25) -> merge -> LAS write
+    val chipOut = PipelineXml.toJsonSpec(
+      read("/root/reference/test/data/filters/chipper.xml.in")
+        .replace("@CMAKE_SOURCE_DIR@/test/temp", tmp), vars)
+    val src = LasDecode.asDataFrame(spark,
+      "/root/reference/test/data/autzen/autzen-utm.las").count()
+    assert(Pipeline.run(spark, chipOut).df.count() === src)
+    assert(LasDecode.asDataFrame(spark, s"$tmp/autzen-utm-chipped-25.las").count() === src)
+  }
+
   test("crop_wkt polygon option flows through (prefix of the fixture chain)") {
     // the fixture's full chain writes LAS; here the polygon path itself:
     // crop_wkt_2d.xml.in carries a 2-D WKT polygon option
