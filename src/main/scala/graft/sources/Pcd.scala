@@ -214,8 +214,10 @@ object Pcd {
     val h = parseHeader(bytes)
     val schema = schemaOf(h)
     val cols = columnsOf(h)
-    val n = h.points.toInt
     val recSize = h.fields.map(_.byteSize).sum
+    require(h.points * math.max(1, recSize) <= Int.MaxValue,
+      s"pcd: ${h.points} points overflow a buffer — shard the file")
+    val n = h.points.toInt
 
     def numAt(bb: ByteBuffer, f: Field, at: Int): Double = (f.tpe, f.size) match {
       case ("F", 4) => bb.getFloat(at).toDouble
