@@ -82,6 +82,11 @@ object Pipeline {
       * (filters.chipper) avoid a full count() scan job. Upper bound once
       * filters run, which is the conservative direction for routing. */
     var inferredCount: Option[Long] = None
+    /** Side-channel per-stage stats (the reference's filters.stats sends
+      * its summary to the METADATA tree and passes points through,
+      * StatsFilter.cpp:59-71 — mid-chain XML pipelines rely on that).
+      * Keyed by stage tag. */
+    var sideStats: List[(String, Array[org.apache.spark.sql.Row])] = Nil
   }
 
   /** Build one stage's transformation. Readers ignore their input. */
@@ -261,6 +266,16 @@ object Pipeline {
       case "filters.stats" =>
         AggOps.stats(st.strs("dimensions").getOrElse(Seq("x", "y", "z")),
           st.strs("enumerate").getOrElse(Nil).toSet)(in.get)
+      case "filters.stats_passthrough" =>
+        // the reference's actual stats-filter contract: points flow
+        // through unchanged, the summary goes to the side channel
+        val d = in.get
+        val dims = st.strs("dimensions").getOrElse(Seq("x", "y", "z"))
+          .filter(d.columns.contains)
+        ctx.sideStats ::= (st.str("tag").getOrElse("stats"),
+          AggOps.stats(dims, st.strs("enumerate").getOrElse(Nil)
+            .filter(d.columns.contains).toSet)(d).collect())
+        d
       case "filters.voxelgrid" =>
         AggOps.voxelGrid(st.dbl("lx").getOrElse(1.0), st.dbl("ly").getOrElse(1.0),
           st.dbl("lz").getOrElse(1.0))(in.get)

@@ -74,10 +74,32 @@ object PipelineXml {
 
   private def stageJson(typ0: String, opts: Seq[XOpt], tag: String,
                         inputTags: Seq[String]): JObject = {
-    val typ = if (typ0 == "writers.text") "writers.csv" else typ0
+    val typ = typ0 match {
+      case "writers.text" => "writers.csv"
+      // the reference's stats filter passes points through with the
+      // summary as a metadata side channel — the engine's pass-through
+      // twin keeps mid-chain XML pipelines flowing
+      case "filters.stats" => "filters.stats_passthrough"
+      case t => t
+    }
     var fields = List[(String, JValue)]("type" -> JString(typ), "tag" -> JString(tag))
     if (inputTags.nonEmpty) fields :+= ("inputs" -> JArray(
       inputTags.map(JString(_)).toList))
+
+    if (typ == "filters.stats_passthrough") {
+      // "readers.las.X, Classification" style qualified dim lists
+      def dimList(name: String): Option[(String, JValue)] =
+        opts.find(_.name == name).map { o =>
+          val cols = o.value.split(",").map(v =>
+            colName(v.trim.split("\\.").last)).filter(_.nonEmpty)
+          name -> JArray(cols.map(JString(_)).toList)
+        }
+      dimList("dimensions").foreach(f => fields :+= f)
+      opts.find(_.name == "exact_dimensions").foreach { o =>
+        fields :+= ("enumerate" -> JArray(o.value.split(",")
+          .map(v => JString(colName(v.trim.split("\\.").last))).toList))
+      }
+    }
 
     if (typ == "filters.range") {
       val limits = opts.filter(_.name == "dimension").map { o =>
@@ -103,12 +125,23 @@ object PipelineXml {
     opts.foreach { o =>
       (typ, o.name) match {
         case (_, "dimension") => // handled per-stage above
+        case ("filters.stats_passthrough", "dimensions" | "exact_dimensions") =>
         case (_, "filename") => fields :+= ("path" -> JString(o.value))
         case ("filters.crop", "bounds") => fields :+= ("bounds" -> boundsArray(o.value))
+        case ("writers.p2g", "grid_dist_x") => fields :+= ("dx" -> typed(o.value))
+        case ("writers.p2g", "grid_dist_y") => fields :+= ("dy" -> typed(o.value))
+        // era-only knobs with no engine meaning (chunking is Spark's
+        // job; every p2g output column is always computed)
+        case ("writers.p2g", "chunk_size" | "output_type" | "output_format") =>
         case (_, n) => fields :+= (n -> typed(o.value))
       }
     }
-    JObject(fields)
+    // repeated generic options would render duplicate JSON keys (json4s
+    // lookups take the first) — keep the LAST occurrence, like the
+    // reference's Options::getValueOrDefault on repeated adds
+    val seen = scala.collection.mutable.HashSet.empty[String]
+    val deduped = fields.reverse.filter(f => seen.add(f._1)).reverse
+    JObject(deduped)
   }
 
   /** Translate a reference XML pipeline document into the engine's JSON

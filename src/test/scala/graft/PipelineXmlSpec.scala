@@ -78,6 +78,28 @@ class PipelineXmlSpec extends AnyFunSuite {
     assert(LasDecode.asDataFrame(spark, s"$tmp/autzen-utm-chipped-25.las").count() === src)
   }
 
+  test("pipeline_write.xml.in: mid-chain stats passes points through to the .laz writer") {
+    val tmp = java.nio.file.Files.createTempDirectory("xmlwrite").toString
+    val json = PipelineXml.toJsonSpec(
+      read("/root/reference/test/data/pipeline/pipeline_write.xml.in")
+        .replace("@CMAKE_SOURCE_DIR@/test/temp", tmp), vars)
+    assert(json.contains("stats_passthrough"))
+    val out = Pipeline.run(spark, json)
+    assert(out.df.count() === 1065) // stats did NOT replace the frame
+    assert(LasDecode.asDataFrame(spark, s"$tmp/pdal-compressed.laz").count() === 1065)
+  }
+
+  test("pipeline_interpolate.xml.in: p2g writer with grid_dist/output_type options") {
+    val tmp = java.nio.file.Files.createTempDirectory("xmlp2g").toString
+    val json = PipelineXml.toJsonSpec(
+      read("/root/reference/test/data/pipeline/pipeline_interpolate.xml.in")
+        .replace("@CMAKE_SOURCE_DIR@/test/temp", tmp), vars)
+    assert(json.contains("\"dx\":6.0"))
+    val out = Pipeline.run(spark, json)
+    assert(out.df.count() > 0) // raster cells
+    assert(spark.read.parquet(s"$tmp/autzen_grid").count() === out.df.count())
+  }
+
   test("crop_wkt polygon option flows through (prefix of the fixture chain)") {
     // the fixture's full chain writes LAS; here the polygon path itself:
     // crop_wkt_2d.xml.in carries a 2-D WKT polygon option
