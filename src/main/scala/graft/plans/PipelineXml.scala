@@ -161,10 +161,17 @@ object PipelineXml {
     val stages = scala.collection.mutable.ArrayBuffer.empty[JObject]
     var nextTag = 0
     def emit(n: Node): String = {
-      val inputs = n.child.filter(isStage).map(emit) // post-order: inputs first
+      val typ = n \@ "type"
+      require(typ.nonEmpty, s"pipeline-xml: <${n.label}> without a type attribute")
+      val kids = n.child.filter(isStage)
+      require(n.label != "Reader" || kids.isEmpty,
+        "pipeline-xml: a Reader cannot have stage children (PipelineReader.cpp rejects this)")
+      require(!(n.label == "MultiFilter" && kids.isEmpty),
+        "pipeline-xml: MultiFilter with no inputs")
+      val inputs = kids.map(emit) // post-order: inputs first
       val opts = (n \ "Option").map(parseOpt)
       val tag = s"x$nextTag"; nextTag += 1
-      stages += stageJson(n \@ "type", opts.toSeq, tag, inputs.toSeq)
+      stages += stageJson(typ, opts.toSeq, tag, inputs.toSeq)
       tag
     }
     emit(terminals.head)

@@ -100,6 +100,18 @@ class PipelineXmlSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$tmp/autzen_grid").count() === out.df.count())
   }
 
+  test("bad/ fixtures all fail loudly at translate or run, never silently") {
+    val dir = new java.io.File("/root/reference/test/data/pipeline/bad")
+    val bads = dir.listFiles().filter(_.getName.endsWith(".xml")).sortBy(_.getName)
+    assert(bads.length === 10)
+    bads.foreach { f =>
+      val r = scala.util.Try {
+        Pipeline.run(spark, PipelineXml.toJsonSpec(read(f.getPath), vars)).df.count()
+      }
+      assert(r.isFailure, s"${f.getName} was accepted")
+    }
+  }
+
   test("crop_wkt polygon option flows through (prefix of the fixture chain)") {
     // the fixture's full chain writes LAS; here the polygon path itself:
     // crop_wkt_2d.xml.in carries a 2-D WKT polygon option
