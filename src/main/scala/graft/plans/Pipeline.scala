@@ -235,8 +235,19 @@ object Pipeline {
       case "filters.mortonorder" =>
         PointOps.mortonOrder(space(st))(in.get)
       case "filters.splitter" =>
-        TileOps.splitter(st.dbl("length").getOrElse(1000.0),
-          st.dbl("origin_x").getOrElse(0.0), st.dbl("origin_y").getOrElse(0.0))(in.get)
+        // origin defaults to the FIRST point like the reference
+        // (SplitterFilter.cpp:101-106); "first" in a distributed frame =
+        // the (doc_id, span_idx)-least row, which for file ingest is the
+        // file's first record. One bounded single-row job, only when
+        // the origin is left unspecified.
+        val (ox, oy) = (st.dbl("origin_x"), st.dbl("origin_y")) match {
+          case (Some(a), Some(b)) => (a, b)
+          case (optX, optY) =>
+            val first = in.get.orderBy(col("doc_id"), col("span_idx"))
+              .select(col("x"), col("y")).head()
+            (optX.getOrElse(first.getDouble(0)), optY.getOrElse(first.getDouble(1)))
+        }
+        TileOps.splitter(st.dbl("length").getOrElse(1000.0), ox, oy)(in.get)
       case "filters.chipper" =>
         // "exact" reproduces the reference's chip sizes bit-for-bit
         // (iterative rank windows — fixture-parity path); "approx" is

@@ -100,6 +100,24 @@ class PipelineXmlSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$tmp/autzen_grid").count() === out.df.count())
   }
 
+  test("splitter without origin defaults to the first point (F9 counts via XML)") {
+    val xml = """<?xml version="1.0"?>
+      <Pipeline version="1.0">
+        <Filter type="filters.splitter">
+          <Option name="length">1000</Option>
+          <Reader type="readers.las">
+            <Option name="filename">/root/reference/test/data/las/1.2-with-color.las</Option>
+          </Reader>
+        </Filter>
+      </Pipeline>"""
+    val out = Pipeline.run(spark, PipelineXml.toJsonSpec(xml)).df
+    val counts = out.groupBy("tile_x", "tile_y").count()
+      .orderBy("count").select("count").collect().map(_.getLong(0)).toSeq
+    // SplitterTest.cpp:92-100's 15 golden tile counts (sorted)
+    assert(counts === Seq(24L, 27, 26, 27, 10, 166, 142, 76, 141, 132,
+      63, 70, 67, 34, 60).sorted)
+  }
+
   test("bad/ fixtures all fail loudly at translate or run, never silently") {
     val dir = new java.io.File("/root/reference/test/data/pipeline/bad")
     val bads = dir.listFiles().filter(_.getName.endsWith(".xml")).sortBy(_.getName)
