@@ -243,9 +243,13 @@ object Pipeline {
         val (ox, oy) = (st.dbl("origin_x"), st.dbl("origin_y")) match {
           case (Some(a), Some(b)) => (a, b)
           case (optX, optY) =>
+            // SplitterFilter::run emits an empty set for empty input —
+            // fall back to (0,0) (any origin works for zero points)
+            // rather than throwing from head() on an empty frame
             val first = in.get.orderBy(col("doc_id"), col("span_idx"))
-              .select(col("x"), col("y")).head()
-            (optX.getOrElse(first.getDouble(0)), optY.getOrElse(first.getDouble(1)))
+              .select(col("x"), col("y")).take(1).headOption
+            (optX.getOrElse(first.map(_.getDouble(0)).getOrElse(0.0)),
+             optY.getOrElse(first.map(_.getDouble(1)).getOrElse(0.0)))
         }
         TileOps.splitter(st.dbl("length").getOrElse(1000.0), ox, oy)(in.get)
       case "filters.chipper" =>

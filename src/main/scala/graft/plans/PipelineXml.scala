@@ -136,11 +136,12 @@ object PipelineXml {
         case (_, n) => fields :+= (n -> typed(o.value))
       }
     }
-    // repeated generic options would render duplicate JSON keys (json4s
-    // lookups take the first) — keep the LAST occurrence, like the
-    // reference's Options::getValueOrDefault on repeated adds
+    // repeated generic options would render duplicate JSON keys — keep
+    // the FIRST occurrence, matching the reference's
+    // Options::getValueOrDefault (multimap find() returns the
+    // first-inserted entry for a repeated name)
     val seen = scala.collection.mutable.HashSet.empty[String]
-    val deduped = fields.reverse.filter(f => seen.add(f._1)).reverse
+    val deduped = fields.filter(f => seen.add(f._1))
     JObject(deduped)
   }
 

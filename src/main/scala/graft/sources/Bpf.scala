@@ -482,12 +482,20 @@ object Bpf {
       if (opts.compression) {
         val defl = new Deflater()
         defl.setInput(payload); defl.finish()
-        val buf = new Array[Byte](payload.length + 64)
-        var m = 0
-        while (!defl.finished()) m += defl.deflate(buf, m, buf.length - m)
+        // drain through a growable sink: dim/byte-major planes are one
+        // block of n*4 bytes, and zlib's worst case on incompressible
+        // input EXCEEDS the payload length (~5 bytes/64 KB stored-block
+        // overhead), so a fixed-slack buffer can fill and stall deflate
+        val sink = new java.io.ByteArrayOutputStream(payload.length / 2 + 64)
+        val buf = new Array[Byte](64 * 1024)
+        while (!defl.finished()) {
+          val n = defl.deflate(buf, 0, buf.length)
+          if (n > 0) sink.write(buf, 0, n)
+        }
         defl.end()
-        fr.putInt(payload.length).putInt(m)
-        out.write(fr.array()); out.write(buf, 0, m)
+        val comp = sink.toByteArray
+        fr.putInt(payload.length).putInt(comp.length)
+        out.write(fr.array()); out.write(comp)
       } else out.write(payload)
     }
 

@@ -227,8 +227,16 @@ object Hdf5Lite {
               inf.setInput(raw)
               val buf = new Array[Byte]((chunkRows * d.tsize).toInt)
               var m = 0
-              while (!inf.finished() && m < buf.length)
-                m += inf.inflate(buf, m, buf.length - m)
+              while (!inf.finished() && m < buf.length) {
+                val n = inf.inflate(buf, m, buf.length - m)
+                // a corrupt/truncated deflate chunk yields n==0 with
+                // finished()==false forever — fail loudly, don't spin
+                require(n > 0 || inf.finished() || inf.needsInput(),
+                  s"zlib stall inflating HDF5 chunk at offset $child")
+                require(n > 0 || inf.finished(),
+                  s"truncated deflate HDF5 chunk at offset $child")
+                m += n
+              }
               inf.end()
               java.util.Arrays.copyOf(buf, m)
             } else raw

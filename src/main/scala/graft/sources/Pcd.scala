@@ -133,12 +133,16 @@ object Pcd {
     var width = -1L; var height = -1L; var points = -1L
     var data: String = null
     var dataOffset = -1
+    // walk lines by raw byte offset (not linesIterator, which strips \r
+    // and would undercount a CRLF-terminated header by one byte per
+    // line, shifting the binary payload start)
     var pos = 0
-    val it = probe.linesIterator
     var done = false
-    while (it.hasNext && !done) {
-      val line = it.next()
-      pos += line.length + 1
+    while (pos < probe.length && !done) {
+      val nl = probe.indexOf('\n', pos)
+      val end = if (nl < 0) probe.length else nl
+      val line = probe.substring(pos, end).stripSuffix("\r")
+      pos = if (nl < 0) probe.length else nl + 1
       val t = line.trim
       if (t.nonEmpty && !t.startsWith("#")) {
         val tok = t.split("\\s+").toSeq

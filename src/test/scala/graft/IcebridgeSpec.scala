@@ -49,14 +49,17 @@ class IcebridgeSpec extends AnyFunSuite {
     assert(graft.plans.Pipeline.run(spark, spec).df.count() === 1)
   }
 
-  test("chunked + shuffle + deflate dataset decodes (real-granule layout)") {
-    // Hand-assembled minimal HDF5 per the public format spec: one rank-1
-    // f32 dataset "v" of 7 values in 3-row chunks, shuffle+deflate
-    // filtered (the layout real NSIDC ATM1B granules use). The builder
-    // doubles as the fixture source — same encoder-first discipline as
-    // the LAZ codec (no h5py in-sandbox).
+  // Hand-assembled minimal HDF5 per the public format spec: one rank-1
+  // f32 dataset "v" of 7 values in 3-row chunks, shuffle+deflate
+  // filtered (the layout real NSIDC ATM1B granules use). The builder
+  // doubles as the fixture source — same encoder-first discipline as
+  // the LAZ codec (no h5py in-sandbox). corruptChunk truncates the
+  // middle chunk's deflate stream (stall-guard fixture).
+  private val chunkedValues = Array(1.5f, -2.25f, 3.0f, 4.5f, 5.75f, -6.125f, 7.0f)
+
+  private def chunkedImage(corruptChunk: Boolean): Array[Byte] = {
     import java.nio.{ByteBuffer, ByteOrder}
-    val values = Array(1.5f, -2.25f, 3.0f, 4.5f, 5.75f, -6.125f, 7.0f)
+    val values = chunkedValues
     def chunkBytes(rows: Array[Float]): Array[Byte] = {
       // full 3-row chunk (edge padded with fill), shuffle then deflate
       val full = java.util.Arrays.copyOf(rows, 3)
@@ -73,8 +76,13 @@ class IcebridgeSpec extends AnyFunSuite {
       defl.end()
       java.util.Arrays.copyOf(buf, m)
     }
-    val chunks = Seq(values.slice(0, 3), values.slice(3, 6), values.slice(6, 7))
+    val chunks0 = Seq(values.slice(0, 3), values.slice(3, 6), values.slice(6, 7))
       .map(chunkBytes)
+    // truncated deflate stream: inflate() returns 0 with needsInput()
+    // and never finishes — must fail loudly, not spin
+    val chunks = if (corruptChunk)
+      chunks0.updated(1, chunks0(1).take(chunks0(1).length / 2))
+    else chunks0
 
     val img = ByteBuffer.allocate(4096).order(ByteOrder.LITTLE_ENDIAN)
     def at(pos: Int): ByteBuffer = { img.position(pos); img }
@@ -125,13 +133,23 @@ class IcebridgeSpec extends AnyFunSuite {
     }
     img.putInt(0).putInt(0).putLong(21L).putLong(0L) // final key
     chunks.zipWithIndex.foreach { case (c, i) => at(dataAt + 64 * i).put(c) }
+    img.array()
+  }
 
+  test("chunked + shuffle + deflate dataset decodes (real-granule layout)") {
     val dir = java.nio.file.Files.createTempDirectory("h5chunk")
     val p = dir.resolve("chunked.h5")
-    java.nio.file.Files.write(p, img.array())
+    java.nio.file.Files.write(p, chunkedImage(corruptChunk = false))
     val f = new Hdf5Lite.File(java.nio.file.Files.readAllBytes(p))
     val got = f.readVector("v")
-    assert(got.toSeq === values.map(_.toDouble).toSeq)
+    assert(got.toSeq === chunkedValues.map(_.toDouble).toSeq)
+  }
+
+  test("truncated deflate chunk fails loudly instead of spinning") {
+    val f = new Hdf5Lite.File(chunkedImage(corruptChunk = true))
+    val boom = intercept[IllegalArgumentException] { f.readVector("v") }
+    assert(boom.getMessage.contains("deflate") || boom.getMessage.contains("zlib"),
+      s"unexpected message: ${boom.getMessage}")
   }
 
   test("parser fails loudly outside the supported subset") {
