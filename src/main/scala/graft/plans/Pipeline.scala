@@ -376,8 +376,13 @@ object Pipeline {
       case "writers.ply" =>
         val d = st.strs("order_by").filter(_.nonEmpty)
           .map(cs => in.get.orderBy(cs.map(col): _*)).getOrElse(in.get)
-        Ply.write(st.str("path").get, d,
-          st.str("format").getOrElse("ascii"))
+        // shard_column routes to the executor-parallel sharded writer
+        st.str("shard_column") match {
+          case Some(sc) => Ply.writeSharded(st.str("path").get, d, sc,
+            st.str("format").getOrElse("binary_little_endian"))
+          case None => Ply.write(st.str("path").get, d,
+            st.str("format").getOrElse("ascii"))
+        }
         d
       case "writers.sbet" =>
         Sbet.write(st.str("path").get, in.get)
@@ -399,8 +404,13 @@ object Pipeline {
         val mode = st.str("data").getOrElse(
           if (st.bool("compression").getOrElse(false)) "binary_compressed"
           else "ascii")
-        Pcd.write(st.str("path").get, d, mode,
-          st.bool("shift_origin").getOrElse(false))
+        // shard_column routes to the executor-parallel sharded writer
+        st.str("shard_column") match {
+          case Some(sc) => Pcd.writeSharded(st.str("path").get, d, sc, mode,
+            st.bool("shift_origin").getOrElse(false))
+          case None => Pcd.write(st.str("path").get, d, mode,
+            st.bool("shift_origin").getOrElse(false))
+        }
         d
       case "writers.bpf" =>
         val d = st.strs("order_by").filter(_.nonEmpty)

@@ -347,34 +347,34 @@ object Pcd {
     * fixture-scale by intent; shard upstream for volume). `shiftOrigin`
     * reproduces the reference writer's PDALtoPCD bounds-min subtraction
     * (lossy, nothing re-adds it on read). */
-  def write(path: String, df: DataFrame, data: String = "ascii",
-            shiftOrigin: Boolean = false): Unit = {
+  /** Build one complete PCD v0.7 image for `recs` (one boxed value per
+    * column each, in `cols` order). Shared by the driver writer and the
+    * sharded executor writer. With `shiftOrigin`, x/y/z are rebased to
+    * the records' own minimum (per FILE, like PCLConversions.hpp
+    * PDALtoPCD — for a sharded write that is per shard, the same lossy
+    * per-file semantic a per-tile reference write would produce). */
+  def imageBytes(cols: Seq[(String, DataType)], recs: IndexedSeq[Array[Any]],
+                 data: String, shiftOrigin: Boolean): Array[Byte] = {
     require(Seq("ascii", "binary", "binary_compressed").contains(data),
       s"pcd: write DATA $data")
-    val cols = df.schema.fields.filter(f => f.dataType match {
-      case _: NumericType => f.name != "span_idx"
-      case _ => false
-    })
-    val rows = df.select(cols.map(f =>
-      org.apache.spark.sql.functions.col(f.name)): _*).collect()
-    val fields = cols.map(f => pcdField(f.name, f.dataType)).toSeq
-    val n = rows.length
+    val fields = cols.map { case (n, dt) => pcdField(n, dt) }
+    val n = recs.length
 
-    def numOf(r: Row, i: Int): Double = cols(i).dataType match {
-      case ByteType    => r.getByte(i).toDouble
-      case ShortType   => r.getShort(i).toDouble
-      case IntegerType => r.getInt(i).toDouble
-      case LongType    => r.getLong(i).toDouble
-      case FloatType   => r.getFloat(i).toDouble
-      case DoubleType  => r.getDouble(i)
+    def numOf(vs: Array[Any], i: Int): Double = cols(i)._2 match {
+      case ByteType    => vs(i).asInstanceOf[Byte].toDouble
+      case ShortType   => vs(i).asInstanceOf[Short].toDouble
+      case IntegerType => vs(i).asInstanceOf[Int].toDouble
+      case LongType    => vs(i).asInstanceOf[Long].toDouble
+      case FloatType   => vs(i).asInstanceOf[Float].toDouble
+      case DoubleType  => vs(i).asInstanceOf[Double]
       case _ => 0.0
     }
 
     val shift = Array.fill(cols.length)(0.0)
     if (shiftOrigin) {
       cols.indices.foreach { i =>
-        if (Seq("x", "y", "z").contains(cols(i).name) && n > 0)
-          shift(i) = rows.iterator.map(r => numOf(r, i)).min
+        if (Seq("x", "y", "z").contains(cols(i)._1) && n > 0)
+          shift(i) = recs.iterator.map(vs => numOf(vs, i)).min
       }
     }
 
@@ -388,53 +388,75 @@ object Pcd {
     hdr.append(s"WIDTH $n\nHEIGHT 1\nVIEWPOINT 0 0 0 1 0 0 0\nPOINTS $n\n")
     hdr.append(s"DATA $data\n")
 
-    val out = new java.io.BufferedOutputStream(new java.io.FileOutputStream(path))
-    try {
-      out.write(hdr.toString.getBytes(StandardCharsets.US_ASCII))
-      def putVal(bb: ByteBuffer, i: Int, r: Row): Unit = {
-        val f = fields(i)
-        (f.tpe, f.size) match {
-          case ("F", 4) => bb.putFloat((numOf(r, i) - shift(i)).toFloat)
-          case ("F", 8) => bb.putDouble(numOf(r, i) - shift(i))
-          case ("I", 1) => bb.put(r.getByte(i))
-          case ("I", 2) => bb.putShort(r.getShort(i))
-          case ("I", 4) => bb.putInt(r.getInt(i))
-          case ("I", 8) => bb.putLong(r.getLong(i))
-          case _ =>
+    val out = new java.io.ByteArrayOutputStream(64 + n * cols.length * 8)
+    out.write(hdr.toString.getBytes(StandardCharsets.US_ASCII))
+    def putVal(bb: ByteBuffer, i: Int, vs: Array[Any]): Unit = {
+      val f = fields(i)
+      (f.tpe, f.size) match {
+        case ("F", 4) => bb.putFloat((numOf(vs, i) - shift(i)).toFloat)
+        case ("F", 8) => bb.putDouble(numOf(vs, i) - shift(i))
+        case ("I", 1) => bb.put(vs(i).asInstanceOf[Byte])
+        case ("I", 2) => bb.putShort(vs(i).asInstanceOf[Short])
+        case ("I", 4) => bb.putInt(vs(i).asInstanceOf[Int])
+        case ("I", 8) => bb.putLong(vs(i).asInstanceOf[Long])
+        case _ =>
+      }
+    }
+    data match {
+      case "ascii" =>
+        recs.foreach { vs =>
+          val line = fields.indices.map { i =>
+            val f = fields(i)
+            if (f.tpe == "F") {
+              val v = numOf(vs, i) - shift(i)
+              if (f.size == 4) v.toFloat.toString else v.toString
+            } else vs(i).toString
+          }.mkString(" ")
+          out.write((line + "\n").getBytes(StandardCharsets.US_ASCII))
         }
-      }
-      data match {
-        case "ascii" =>
-          rows.foreach { r =>
-            val line = fields.indices.map { i =>
-              val f = fields(i)
-              if (f.tpe == "F") {
-                val v = numOf(r, i) - shift(i)
-                if (f.size == 4) v.toFloat.toString else v.toString
-              } else r.get(i).toString
-            }.mkString(" ")
-            out.write((line + "\n").getBytes(StandardCharsets.US_ASCII))
-          }
-        case "binary" =>
-          val recSize = fields.map(_.byteSize).sum
-          val bb = ByteBuffer.allocate(recSize).order(ByteOrder.LITTLE_ENDIAN)
-          rows.foreach { r =>
-            bb.clear()
-            fields.indices.foreach(i => putVal(bb, i, r))
-            out.write(bb.array(), 0, recSize)
-          }
-        case "binary_compressed" =>
-          // field-major (SoA) reorder, then LZF
-          val total = fields.map(_.byteSize).sum * n
-          val bb = ByteBuffer.allocate(total).order(ByteOrder.LITTLE_ENDIAN)
-          fields.indices.foreach { i =>
-            rows.foreach(r => putVal(bb, i, r))
-          }
-          val comp = Lzf.compress(bb.array())
-          val fr = ByteBuffer.allocate(8).order(ByteOrder.LITTLE_ENDIAN)
-          fr.putInt(comp.length).putInt(total)
-          out.write(fr.array()); out.write(comp)
-      }
-    } finally out.close()
+      case "binary" =>
+        val recSize = fields.map(_.byteSize).sum
+        val bb = ByteBuffer.allocate(recSize).order(ByteOrder.LITTLE_ENDIAN)
+        recs.foreach { vs =>
+          bb.clear()
+          fields.indices.foreach(i => putVal(bb, i, vs))
+          out.write(bb.array(), 0, recSize)
+        }
+      case "binary_compressed" =>
+        // field-major (SoA) reorder, then LZF
+        val total = fields.map(_.byteSize).sum * n
+        val bb = ByteBuffer.allocate(total).order(ByteOrder.LITTLE_ENDIAN)
+        fields.indices.foreach { i =>
+          recs.foreach(vs => putVal(bb, i, vs))
+        }
+        val comp = Lzf.compress(bb.array())
+        val fr = ByteBuffer.allocate(8).order(ByteOrder.LITTLE_ENDIAN)
+        fr.putInt(comp.length).putInt(total)
+        out.write(fr.array()); out.write(comp)
+    }
+    out.toByteArray
   }
+
+  /** Write the DataFrame's numeric columns as ONE PCD file (driver
+    * collect — fixture-scale by intent; use [[writeSharded]] for
+    * volume). */
+  def write(path: String, df: DataFrame, data: String = "ascii",
+            shiftOrigin: Boolean = false): Unit = {
+    val cols = ShardedWrite.numericCols(df.schema)
+    val rows = df.select(cols.map(f =>
+      org.apache.spark.sql.functions.col(f.name)): _*).collect()
+      .map(r => Array.tabulate(cols.length)(r.get)).toIndexedSeq
+    java.nio.file.Files.write(java.nio.file.Paths.get(path),
+      imageBytes(cols.map(f => (f.name, f.dataType)), rows, data, shiftOrigin))
+  }
+
+  /** Executor-sharded PCD export: one .pcd per distinct value of
+    * `shardCol`, built and published by the executors (two-phase on
+    * object stores) — no driver funnel. Returns shard file names. */
+  def writeSharded(dir: String, df: DataFrame, shardCol: String,
+                   data: String = "binary_compressed",
+                   shiftOrigin: Boolean = false,
+                   numTasks: Int = 0): Seq[String] =
+    ShardedWrite.run(df, dir, shardCol, "pcd", numTasks)(
+      (cols, recs) => imageBytes(cols, recs, data, shiftOrigin))
 }

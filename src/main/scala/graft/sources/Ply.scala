@@ -247,61 +247,75 @@ object Ply {
     case other => throw new IllegalArgumentException(s"ply: unwritable type $other")
   }
 
-  /** Write the DataFrame's numeric columns as a single-`vertex`-element
-    * PLY (driver collect — fixture-scale by intent, like the LAS driver
-    * writer; shard per tile with writeSharded-style partitioning
-    * upstream for volume). Column order is preserved. */
-  def write(path: String, df: DataFrame, format: String = "ascii"): Unit = {
+  /** Build one complete single-`vertex`-element PLY image for `recs`
+    * (one boxed value per column each, in `cols` order). Shared by the
+    * driver writer and the sharded executor writer; column order and
+    * types are preserved. */
+  def imageBytes(cols: Seq[(String, DataType)], recs: IndexedSeq[Array[Any]],
+                 format: String): Array[Byte] = {
     require(Seq("ascii", "binary_little_endian").contains(format),
       s"ply write format $format")
-    // doc_id/span_idx are engine row identity, not point dimensions —
-    // the reader regenerates them (rename upstream to persist them)
-    val cols = df.schema.fields.filter(f => f.dataType match {
-      case _: NumericType => !Seq("span_idx").contains(f.name)
-      case _ => false
-    })
-    val rows = df.select(cols.map(f => org.apache.spark.sql.functions
-      .col(f.name)): _*).collect()
+    val out = new java.io.ByteArrayOutputStream(64 + recs.length * cols.length * 8)
     val hdr = new StringBuilder()
     hdr.append("ply\n").append(s"format $format 1.0\n")
-    hdr.append(s"element vertex ${rows.length}\n")
-    cols.foreach(f => hdr.append(s"property ${plyTypeOf(f.dataType)} ${f.name}\n"))
+    hdr.append(s"element vertex ${recs.length}\n")
+    cols.foreach { case (n, dt) => hdr.append(s"property ${plyTypeOf(dt)} $n\n") }
     hdr.append("end_header\n")
-    val out = new java.io.BufferedOutputStream(
-      new java.io.FileOutputStream(path))
-    try {
-      out.write(hdr.toString.getBytes(StandardCharsets.US_ASCII))
-      if (format == "ascii") {
-        rows.foreach { r =>
-          val line = cols.indices.map { i =>
-            cols(i).dataType match {
-              case FloatType  => r.getFloat(i).toString
-              case DoubleType => r.getDouble(i).toString
-              case LongType   => r.getLong(i).toDouble.toString
-              case _          => r.get(i).toString
-            }
-          }.mkString(" ")
-          out.write((line + "\n").getBytes(StandardCharsets.US_ASCII))
-        }
-      } else {
-        val recSize = cols.map(f => Prop("c", plyTypeOf(f.dataType)).byteSize).sum
-        val bb = ByteBuffer.allocate(recSize).order(ByteOrder.LITTLE_ENDIAN)
-        rows.foreach { r =>
-          bb.clear()
-          cols.indices.foreach { i =>
-            cols(i).dataType match {
-              case ByteType    => bb.put(r.getByte(i))
-              case ShortType   => bb.putShort(r.getShort(i))
-              case IntegerType => bb.putInt(r.getInt(i))
-              case LongType    => bb.putDouble(r.getLong(i).toDouble)
-              case FloatType   => bb.putFloat(r.getFloat(i))
-              case DoubleType  => bb.putDouble(r.getDouble(i))
-              case _ =>
-            }
+    out.write(hdr.toString.getBytes(StandardCharsets.US_ASCII))
+    if (format == "ascii") {
+      recs.foreach { vs =>
+        val line = cols.indices.map { i =>
+          cols(i)._2 match {
+            case FloatType  => vs(i).asInstanceOf[Float].toString
+            case DoubleType => vs(i).asInstanceOf[Double].toString
+            case LongType   => vs(i).asInstanceOf[Long].toDouble.toString
+            case _          => vs(i).toString
           }
-          out.write(bb.array(), 0, recSize)
-        }
+        }.mkString(" ")
+        out.write((line + "\n").getBytes(StandardCharsets.US_ASCII))
       }
-    } finally out.close()
+    } else {
+      val recSize = cols.map(c => Prop("c", plyTypeOf(c._2)).byteSize).sum
+      val bb = ByteBuffer.allocate(recSize).order(ByteOrder.LITTLE_ENDIAN)
+      recs.foreach { vs =>
+        bb.clear()
+        cols.indices.foreach { i =>
+          cols(i)._2 match {
+            case ByteType    => bb.put(vs(i).asInstanceOf[Byte])
+            case ShortType   => bb.putShort(vs(i).asInstanceOf[Short])
+            case IntegerType => bb.putInt(vs(i).asInstanceOf[Int])
+            case LongType    => bb.putDouble(vs(i).asInstanceOf[Long].toDouble)
+            case FloatType   => bb.putFloat(vs(i).asInstanceOf[Float])
+            case DoubleType  => bb.putDouble(vs(i).asInstanceOf[Double])
+            case _ =>
+          }
+        }
+        out.write(bb.array(), 0, recSize)
+      }
+    }
+    out.toByteArray
   }
+
+  /** Write the DataFrame's numeric columns as ONE PLY file (driver
+    * collect — fixture-scale by intent, like the LAS driver writer; use
+    * [[writeSharded]] for volume). doc_id/span_idx are engine row
+    * identity, not point dimensions — the reader regenerates them
+    * (rename upstream to persist them). */
+  def write(path: String, df: DataFrame, format: String = "ascii"): Unit = {
+    val cols = ShardedWrite.numericCols(df.schema)
+    val rows = df.select(cols.map(f => org.apache.spark.sql.functions
+      .col(f.name)): _*).collect()
+      .map(r => Array.tabulate(cols.length)(r.get)).toIndexedSeq
+    java.nio.file.Files.write(java.nio.file.Paths.get(path),
+      imageBytes(cols.map(f => (f.name, f.dataType)), rows, format))
+  }
+
+  /** Executor-sharded PLY export: one .ply per distinct value of
+    * `shardCol`, built and published by the executors (two-phase on
+    * object stores) — no driver funnel. Returns shard file names. */
+  def writeSharded(dir: String, df: DataFrame, shardCol: String,
+                   format: String = "binary_little_endian",
+                   numTasks: Int = 0): Seq[String] =
+    ShardedWrite.run(df, dir, shardCol, "ply", numTasks)(
+      (cols, recs) => imageBytes(cols, recs, format))
 }
