@@ -54,6 +54,16 @@ object EntryPipelines {
           col("zmean"), round(col("zidw"), 5).as("zidw5"),
           round(col("zstd"), 5).as("zstd5"))),
 
+    // the reference's default nodata window fill (fill_window_size=3):
+    // empty in-grid cells take the 1/d^2-weighted mean of their
+    // non-empty (2w+1)^2 neighbors; filled cells carry den=0
+    "q_p2g_fill" -> ((s, dir) =>
+      AggOps.p2gRaster(32, 32, 22.6, 0, 0, fillWindowSize = 3)(pts(s, dir))
+        .select(col("px"), col("py"), col("den"),
+          round(col("zmin"), 5).as("zmin5"), round(col("zmax"), 5).as("zmax5"),
+          round(col("zmean"), 5).as("zmean5"), round(col("zidw"), 5).as("zidw5"),
+          round(col("zstd"), 5).as("zstd5"))),
+
     "q_hexbin" -> ((s, dir) =>
       TileOps.hexDensity(50.0)(pts(s, dir))
         .select("hex_q", "hex_r", "density")),
@@ -143,10 +153,13 @@ object EntryPipelines {
     // list-partitioned parquet write, probe run cold against the stored
     // table (partition pruning — the 100 TB vector-store path)
     "q_ann_ivf_stored" -> ((s, dir) => {
-      // one stable per-JVM store dir, reused via overwrite mode — repeated
-      // oracle/bench runs do not accrete abandoned parquet stores
+      // one stable per-SESSION store dir (appId-suffixed), reused via
+      // overwrite mode — repeated oracle/bench runs do not accrete
+      // abandoned parquet stores, and concurrent sessions on one host
+      // cannot interleave overwrites of the same store
       val tmp = java.nio.file.Paths.get(
-        sys.props("java.io.tmpdir"), "graft-ivf-store").toString
+        sys.props("java.io.tmpdir"),
+        s"graft-ivf-store-${s.sparkContext.applicationId}").toString
       AnnOps.ivfStoredTopK(queryVec, k = 20, nLists = 16, nProbe = 4,
         kmeansIters = 1, storageDir = tmp)(embs(s, dir))
         .select(col("vec_id"), col("label"), col("list"),
@@ -403,6 +416,59 @@ object EntryPipelines {
            |       round(sum(z / greatest(dist, 1e-12)) / sum(1.0 / greatest(dist, 1e-12)), 5) AS zidw5,
            |       round(stddev_pop(z), 5) AS zstd5
            |FROM gated WHERE dist <= 22.6 GROUP BY px, py""".stripMargin,
+
+      "q_p2g_fill" ->
+        s"""WITH $P,
+           |base AS (
+           |  SELECT x, y, z,
+           |         CAST(floor(x / 32) AS BIGINT) AS cx0,
+           |         CAST(floor(y / 32) AS BIGINT) AS cy0
+           |  FROM pts),
+           |expanded AS (
+           |  SELECT x, y, z, cx0 + ox.o AS px, cy0 + oy.o AS py
+           |  FROM base
+           |  CROSS JOIN (VALUES (-1), (0), (1)) ox(o)
+           |  CROSS JOIN (VALUES (-1), (0), (1)) oy(o)),
+           |gated AS (
+           |  SELECT *,
+           |         sqrt((x - ((px + 0.5) * 32.0)) * (x - ((px + 0.5) * 32.0))
+           |            + (y - ((py + 0.5) * 32.0)) * (y - ((py + 0.5) * 32.0))) AS dist
+           |  FROM expanded),
+           |cells AS (
+           |  SELECT px, py, CAST(count(*) AS BIGINT) AS den,
+           |         min(z) AS zmin, max(z) AS zmax, sum(z) / count(*) AS zmean,
+           |         sum(z / greatest(dist, 1e-12)) / sum(1.0 / greatest(dist, 1e-12)) AS zidw,
+           |         stddev_pop(z) AS zstd
+           |  FROM gated WHERE dist <= 22.6 GROUP BY px, py),
+           |ext AS (
+           |  SELECT min(px) AS pxmin, max(px) AS pxmax,
+           |         min(py) AS pymin, max(py) AS pymax FROM cells),
+           |cand AS (
+           |  SELECT c.px + ox.o AS px, c.py + oy.o AS py,
+           |         CAST(greatest(abs(ox.o), abs(oy.o)) AS DOUBLE) AS fd,
+           |         c.zmin, c.zmax, c.zmean, c.zstd, c.zidw
+           |  FROM cells c
+           |  CROSS JOIN (VALUES (-1), (0), (1)) ox(o)
+           |  CROSS JOIN (VALUES (-1), (0), (1)) oy(o)
+           |  WHERE NOT (ox.o = 0 AND oy.o = 0)),
+           |filled AS (
+           |  SELECT cand.px, cand.py, CAST(0 AS BIGINT) AS den,
+           |         sum(zmin / (fd * fd)) / sum(1.0 / (fd * fd)) AS zmin,
+           |         sum(zmax / (fd * fd)) / sum(1.0 / (fd * fd)) AS zmax,
+           |         sum(zmean / (fd * fd)) / sum(1.0 / (fd * fd)) AS zmean,
+           |         sum(zidw / (fd * fd)) / sum(1.0 / (fd * fd)) AS zidw,
+           |         sum(zstd / (fd * fd)) / sum(1.0 / (fd * fd)) AS zstd
+           |  FROM cand, ext
+           |  WHERE cand.px BETWEEN ext.pxmin AND ext.pxmax
+           |    AND cand.py BETWEEN ext.pymin AND ext.pymax
+           |    AND NOT EXISTS (SELECT 1 FROM cells c2
+           |                    WHERE c2.px = cand.px AND c2.py = cand.py)
+           |  GROUP BY cand.px, cand.py)
+           |SELECT px, py, den,
+           |       round(zmin, 5) AS zmin5, round(zmax, 5) AS zmax5,
+           |       round(zmean, 5) AS zmean5, round(zidw, 5) AS zidw5,
+           |       round(zstd, 5) AS zstd5
+           |FROM (SELECT * FROM cells UNION ALL SELECT * FROM filled)""".stripMargin,
 
       "q_hexbin" ->
         s"""WITH $P, $hexSql

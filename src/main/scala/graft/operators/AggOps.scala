@@ -70,9 +70,20 @@ object AggOps {
     * IDW = sum(z/dist) / sum(1/dist) per cell (the p2g InterpInterface
     * semantics). Points exactly on a cell center contribute their z with
     * infinite weight; guarded with a small epsilon like p2g's grid code.
-    */
+    *
+    * `fillWindowSize` reproduces the reference's nodata window fill
+    * (P2gWriter.cpp:62-63,185 hands `fill_window_size`, default 3, to
+    * the points2grid interpolator; the library's published fill walks
+    * each empty in-grid cell's (2w+1)^2 neighborhood, w = size/2, and
+    * takes the 1/d^2-weighted mean of non-empty neighbors at Chebyshev
+    * distance d — points2grid's WEIGHTER = 2). Realized as one
+    * neighbor expand-join + anti-join over the AGGREGATED cell table
+    * (cells only — cheap at any scale; the library's in-core raster
+    * loop would not distribute). Filled cells carry den = 0, marking
+    * them interpolated rather than observed. */
   def p2gRaster(dx: Double, dy: Double, radius: Double,
-                originX: Double, originY: Double)(df: DataFrame): DataFrame = {
+                originX: Double, originY: Double,
+                fillWindowSize: Int = 0)(df: DataFrame): DataFrame = {
     val kx = math.max(0, math.ceil(radius / dx - 0.5).toInt)
     val ky = math.max(0, math.ceil(radius / dy - 0.5).toInt)
     val offsets = for { ox <- -kx to kx; oy <- -ky to ky } yield (ox, oy)
@@ -91,12 +102,45 @@ object AggOps {
         + (col("y") - col("cyc")) * (col("y") - col("cyc"))))
       .filter(col("dist") <= radius)
     val eps = 1e-12
-    expanded.groupBy(col("px"), col("py"))
+    val cells = expanded.groupBy(col("px"), col("py"))
       .agg(
         count(lit(1)).as("den"),
         min("z").as("zmin"), max("z").as("zmax"), avg("z").as("zmean"),
         stddev_pop("z").as("zstd"),
         (sum(col("z") / greatest(col("dist"), lit(eps))) /
           sum(lit(1.0) / greatest(col("dist"), lit(eps)))).as("zidw"))
+    if (fillWindowSize <= 1) cells
+    else {
+      // the aggregated cell table is raster-sized (small); pin it once —
+      // it feeds the grid-extent agg, the neighbor expand and the
+      // anti-join below
+      val c = cells.localCheckpoint()
+      val ext = c.agg(min("px"), max("px"), min("py"), max("py")).head()
+      val (pxMin, pxMax) = (ext.getLong(0), ext.getLong(1))
+      val (pyMin, pyMax) = (ext.getLong(2), ext.getLong(3))
+      val w = fillWindowSize / 2
+      val neigh = for { ox <- -w to w; oy <- -w to w; if ox != 0 || oy != 0 }
+        yield (ox, oy)
+      val nArr = array(neigh.map(o =>
+        struct(lit(o._1).as("ox"), lit(o._2).as("oy"))): _*)
+      val metrics = Seq("zmin", "zmax", "zmean", "zstd", "zidw")
+      val cand = c.withColumn("o", explode(nArr))
+        .select(Seq(
+          (col("px") + col("o.ox")).as("px"),
+          (col("py") + col("o.oy")).as("py"),
+          greatest(abs(col("o.ox")), abs(col("o.oy")))
+            .cast(DoubleType).as("fd")) ++
+          metrics.map(m => col(m).as(s"n_$m")): _*)
+      val wgt = lit(1.0) / (col("fd") * col("fd")) // WEIGHTER = 2
+      val filled = cand
+        .filter(col("px").between(pxMin, pxMax) &&
+                col("py").between(pyMin, pyMax))
+        .join(c.select("px", "py"), Seq("px", "py"), "left_anti")
+        .groupBy("px", "py")
+        .agg(metrics.map(m => (sum(col(s"n_$m") * wgt) / sum(wgt)).as(m)).head,
+             metrics.map(m => (sum(col(s"n_$m") * wgt) / sum(wgt)).as(m)).tail: _*)
+        .withColumn("den", lit(0L))
+      c.unionByName(filled.select(c.columns.map(col): _*))
+    }
   }
 }

@@ -354,7 +354,8 @@ object Pipeline {
       case "writers.p2g" =>
         val d = AggOps.p2gRaster(st.dbl("dx").getOrElse(1.0), st.dbl("dy").getOrElse(1.0),
           st.dbl("radius").getOrElse(0.7), st.dbl("origin_x").getOrElse(0.0),
-          st.dbl("origin_y").getOrElse(0.0))(in.get)
+          st.dbl("origin_y").getOrElse(0.0),
+          st.int("fill_window_size").getOrElse(0))(in.get)
         d.write.mode("overwrite").parquet(st.str("path").get)
         d
 

@@ -136,6 +136,12 @@ object PipelineXml {
         case (_, n) => fields :+= (n -> typed(o.value))
       }
     }
+    // the reference's p2g writer window-fills nodata cells by default
+    // (P2gWriter.cpp:62-63: fill_window_size default 3) — reference
+    // -native XML pipelines get that default; the engine's JSON API
+    // keeps fill opt-in
+    if (typ == "writers.p2g" && !opts.exists(_.name == "fill_window_size"))
+      fields :+= ("fill_window_size" -> JInt(3))
     // repeated generic options would render duplicate JSON keys — keep
     // the FIRST occurrence, matching the reference's
     // Options::getValueOrDefault (multimap find() returns the

@@ -93,6 +93,15 @@ class AdviceFixesSpec extends AnyFunSuite {
     assert(Pipeline.run(spark, spec).df.count() === 0L)
   }
 
+  test("stored IVF layout is session-isolated (appId-suffixed store dir)") {
+    val out = SparkEntry.queries("q_ann_ivf_stored")(spark, "/root/testdata/sf0.001")
+    assert(out.count() === 20)
+    val dir = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+      s"graft-ivf-store-${spark.sparkContext.applicationId}")
+    assert(java.nio.file.Files.isDirectory(dir),
+      s"expected per-session store at $dir")
+  }
+
   test("repeated XML option resolves to the first occurrence (multimap find order)") {
     val xml = """<?xml version="1.0"?>
       <Pipeline version="1.0">
