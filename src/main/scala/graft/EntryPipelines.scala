@@ -97,6 +97,11 @@ object EntryPipelines {
     "q_token_count" -> ((s, dir) =>
       TextOps.tokenCounts(docs(s, dir))),
 
+    // rank-ordered byte-pair-merge tokenizer (real BPE encode over the
+    // fixture merge table, codegen'd expression)
+    "q_token_bpe" -> ((s, dir) =>
+      TextOps.bpeTokenCounts(docs(s, dir))),
+
     "q_quality" -> ((s, dir) =>
       TextOps.qualityScore(docs(s, dir))
         .select(col("doc_id"), col("len"), col("n_words"), col("n_stop"),
@@ -490,6 +495,12 @@ object EntryPipelines {
           |       CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS INT) AS n_subword_units,
           |       CAST(length(text) AS INT) AS len
           |FROM documents""".stripMargin,
+
+      "q_token_bpe" ->
+        s"""SELECT doc_id,
+           |       CAST(length(s) - length(replace(s, chr(31), '')) - 1 AS INT) AS n_bpe
+           |FROM (SELECT doc_id, ${TextOps.Bpe.oracleTokenString("text")} AS s
+           |      FROM documents)""".stripMargin,
 
       "q_quality" ->
         s"""WITH q AS (

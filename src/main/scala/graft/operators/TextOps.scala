@@ -90,6 +90,113 @@ object TextOps {
       length(col("text")).as("len"))
   }
 
+  // ---- byte-pair-merge tokenizer ------------------------------------------
+
+  /** Rank-ordered byte-pair-merge tokenizer (the public BPE encode
+    * algorithm, Sennrich et al. 2016). Because each merge's two parts
+    * always carry strictly lower ranks than the merge itself (a part is
+    * either a single character or the product of an earlier merge),
+    * applying the merge list SEQUENTIALLY in rank order with greedy
+    * left-to-right non-overlapping replacement is equivalent to the
+    * classic lowest-rank-pair-first priority loop — and the sequential
+    * form has an exact SQL twin: seed `sep || char` per codepoint, then
+    * one replace(sep+a+sep+b -> sep+ab) per merge; the token count is
+    * the separator count. The fixture merge table below is shared
+    * verbatim with the oracle; swap in a trained merges file for
+    * production use. */
+  object Bpe {
+    import org.apache.spark.sql.graftbridge.{ColumnBridge => EU}
+    import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+    import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+    import org.apache.spark.unsafe.types.UTF8String
+
+    /** Fixture merges, rank order; every part is a single char or an
+      * earlier merge's product (BPE well-formedness). */
+    val merges: Seq[(String, String)] = Seq(
+      ("t", "h"), ("th", "e"), ("i", "n"), ("a", "n"), ("an", "d"),
+      ("e", "r"), ("o", "n"), ("r", "e"), ("o", "r"), ("s", "t"),
+      ("e", "n"), ("o", "f"), ("in", "g"), ("t", "o"), ("e", "d"),
+      ("c", "h"))
+    // the SQL oracle's two-pass full-boundary replace is exact only for
+    // a != b merges (see oracleTokenString); the encoder itself is fine
+    // either way, so gate the table shape loudly
+    require(merges.forall { case (a, b) => a != b },
+      "oracle scheme requires a != b in every merge")
+
+    /** Encode to the token sequence (codepoint-seeded). */
+    def tokens(text: String): IndexedSeq[String] = {
+      var toks: Array[String] = {
+        val out = new scala.collection.mutable.ArrayBuffer[String](text.length)
+        var i = 0
+        while (i < text.length) {
+          val cp = text.codePointAt(i)
+          out += new String(Character.toChars(cp))
+          i += Character.charCount(cp)
+        }
+        out.toArray
+      }
+      merges.foreach { case (a, b) =>
+        if (toks.length >= 2) {
+          val out = new scala.collection.mutable.ArrayBuffer[String](toks.length)
+          var i = 0
+          while (i < toks.length) {
+            if (i + 1 < toks.length && toks(i) == a && toks(i + 1) == b) {
+              out += a + b; i += 2
+            } else { out += toks(i); i += 1 }
+          }
+          toks = out.toArray
+        }
+      }
+      scala.collection.immutable.ArraySeq.unsafeWrapArray(toks)
+    }
+
+    def evalCount(t: UTF8String): Int = tokens(t.toString).length
+
+    case class CountExpr(child: Expression) extends UnaryExpression {
+      override def dataType: DataType = IntegerType
+      override def nullIntolerant: Boolean = true
+      override def prettyName: String = "bpe_token_count"
+      override protected def nullSafeEval(v: Any): Any =
+        evalCount(v.asInstanceOf[UTF8String])
+      // call the module instance by JVM name (Janino can't resolve a
+      // nested Scala object through the outer object's forwarders)
+      override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+        nullSafeCodeGen(ctx, ev, c =>
+          s"${ev.value} = graft.operators.TextOps$$Bpe$$.MODULE$$.evalCount($c);")
+      override protected def withNewChildInternal(c: Expression): Expression =
+        copy(child = c)
+    }
+
+    def countCol(text: Column): Column = EU.column(CountExpr(EU.expression(text)))
+
+    /** The DuckDB twin of [[evalCount]]'s tokenization, as a SQL string
+      * expression over `inner`. Tokens render as `sep+token ... +sep`
+      * (a separator at EVERY boundary, including a trailing sentinel),
+      * so each merge is `replace(sep+a+sep+b+sep -> sep+ab+sep)` — the
+      * full-boundary pattern can never match a proper prefix/suffix of
+      * a longer token (a single-boundary `sep+a+sep+b` wrongly merges
+      * `t|or` when looking for `t|o`). Each replace runs TWICE: in a
+      * chain `a b a b`, consecutive occurrences share a boundary
+      * separator, so one leftmost-nonoverlapping pass merges alternating
+      * occurrences only; since every merge here has a != b, occurrences
+      * are token-disjoint and a second pass merges the skipped remainder
+      * exactly (a product `ab` equals neither `a` nor `b`, so no new
+      * occurrence arises within a step). `(?s)` seeds newlines too.
+      * Token count is then `#separators - 1`. */
+    def oracleTokenString(inner: String): String = {
+      val seeded = s"regexp_replace($inner, '(?s)(.)', chr(31) || '\\1', 'g') || chr(31)"
+      merges.foldLeft(seeded) { case (acc, (a, b)) =>
+        val pat = s"chr(31) || '$a' || chr(31) || '$b' || chr(31)"
+        val rep = s"chr(31) || '$a$b' || chr(31)"
+        s"replace(replace($acc, $pat, $rep), $pat, $rep)"
+      }
+    }
+  }
+
+  /** q_token_bpe surface: doc_id + the BPE token count (codegen'd). */
+  def bpeTokenCounts(df: DataFrame): DataFrame =
+    df.select(col("doc_id"), Bpe.countCol(col("text")).as("n_bpe"))
+
   // ---- quality scoring --------------------------------------------------
 
   /** Common-English stopwords for quality/langid heuristics (tiny fixed
