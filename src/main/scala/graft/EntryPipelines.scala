@@ -171,6 +171,19 @@ object EntryPipelines {
           round(col("sim"), 6).as("sim6"))
     }),
 
+    // IVF-PQ: product-quantized residual codes over the stored layout —
+    // the probe scans only the codes column of the pruned partitions,
+    // top-60 ADC candidates exact-reranked via one broadcast join
+    "q_ann_ivf_pq" -> ((s, dir) => {
+      val tmp = java.nio.file.Paths.get(
+        sys.props("java.io.tmpdir"),
+        s"graft-ivfpq-store-${s.sparkContext.applicationId}").toString
+      AnnOps.ivfPqStoredTopK(queryVec, k = 20, nLists = 16, nProbe = 4,
+        m = 8, codebookK = 16, nCand = 60, storageDir = tmp)(embs(s, dir))
+        .select(col("vec_id"), col("label"), col("list"),
+          round(col("sim"), 6).as("sim6"))
+    }),
+
     "q_quantize" -> ((s, dir) => {
       val xf = Map(
         "x" -> Quantize.XForm(0.03, 100.0),
@@ -546,6 +559,7 @@ object EntryPipelines {
 
       "q_ann_ivf" -> annIvfSql,
       "q_ann_ivf_stored" -> annIvfStoredSql,
+      "q_ann_ivf_pq" -> annIvfPqSql,
 
       // writers.las quantization grid: sround = round half away from
       // zero (Utils::sround / lround), mirrored exactly; literals CAST
@@ -986,6 +1000,108 @@ object EntryPipelines {
        |          sqrt(list_dot_product(q.qv, q.qv))) AS sim
        |  FROM assign2, q WHERE list IN (SELECT ci FROM qd))
        |SELECT vec_id, label, list, round(sim, 6) AS sim6 FROM cand
+       |ORDER BY sim DESC, vec_id LIMIT $k""".stripMargin
+  }
+
+  /** IVF-PQ oracle: the full product-quantization pipeline mirrored in
+    * SQL — seed coarse centroids and max-cosine assignment as in
+    * [[annIvfSql]]; residuals; codebook seeds = the first-16 vectors'
+    * residual subvectors; ONE Lloyd round with the integer-exact mean
+    * (1e-6 quantization summed as BIGINT, order-free — bit-identical to
+    * Spark's partial aggregation); nearest-codeword encode (ties ->
+    * lowest index, strict-< like the engine's argmin); per-probed-list
+    * ADC LUT; candidate cut = top-60 by ADC (ties -> vec_id) with the
+    * per-subspace distances summed IN SUBSPACE ORDER
+    * (list_sum(list(dm ORDER BY m)) — double addition is
+    * order-sensitive and the engine sums m ascending); exact cosine
+    * rerank of the candidates. Lambdas never capture correlated outer
+    * columns (DuckDB can't bind them) — differences go through
+    * list_zip(a, b) with the outer refs as zip ARGUMENTS. */
+  private def annIvfPqSql: String = {
+    val (nLists, nProbe, k, m, dsub, ck, nCand) = (16, 4, 20, 8, 8, 16, 60)
+    s"""WITH q AS (SELECT $queryVecSql AS qv),
+       |cent0 AS (
+       |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS ci, embedding::DOUBLE[] AS ce
+       |  FROM embeddings ORDER BY vec_id LIMIT $nLists),
+       |cent AS (
+       |  SELECT ci, list_transform(ce,
+       |           x -> x / greatest(sqrt(list_dot_product(ce, ce)), 1e-300)) AS cn
+       |  FROM cent0),
+       |assign AS (
+       |  SELECT e.vec_id, e.label, e.embedding::DOUBLE[] AS emb,
+       |         (SELECT c.ci FROM cent c
+       |          ORDER BY list_dot_product(e.embedding::DOUBLE[], c.cn) DESC, c.ci
+       |          LIMIT 1) AS list
+       |  FROM embeddings e),
+       |res AS (
+       |  SELECT a.vec_id, a.label, a.emb, a.list,
+       |         list_transform(list_zip(a.emb, c.cn), p -> p[1] - p[2]) AS r
+       |  FROM assign a JOIN cent c ON a.list = c.ci),
+       |ms AS (SELECT unnest(generate_series(0, ${m - 1})) AS m),
+       |seedv AS (
+       |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS ki, r
+       |  FROM res ORDER BY vec_id LIMIT $ck),
+       |cb0 AS (
+       |  SELECT ms.m, s.ki, s.r[ms.m * $dsub + 1 : ms.m * $dsub + $dsub] AS cv
+       |  FROM ms, seedv s),
+       |sub AS (
+       |  SELECT v.vec_id, ms.m, v.r[ms.m * $dsub + 1 : ms.m * $dsub + $dsub] AS sv
+       |  FROM res v, ms),
+       |code0 AS (
+       |  SELECT a.vec_id, a.m, a.sv,
+       |         (SELECT c.ki FROM cb0 c WHERE c.m = a.m
+       |          ORDER BY list_dot_product(
+       |            list_transform(list_zip(a.sv, c.cv), p -> p[1] - p[2]),
+       |            list_transform(list_zip(a.sv, c.cv), p -> p[1] - p[2])), c.ki
+       |          LIMIT 1) AS ki
+       |  FROM sub a),
+       |upd AS (
+       |  SELECT m, ki, pos.pos AS pos,
+       |         CAST(sum(CAST(floor(sv[pos.pos] * CAST(1000000 AS DOUBLE)
+       |                  + CAST(0.5 AS DOUBLE)) AS BIGINT)) AS BIGINT) AS s,
+       |         count(*) AS n
+       |  FROM code0, (SELECT unnest(generate_series(1, $dsub)) AS pos) pos
+       |  GROUP BY m, ki, pos.pos),
+       |updl AS (
+       |  SELECT m, ki, list((CAST(s AS DOUBLE) / n) / CAST(1000000 AS DOUBLE) ORDER BY pos) AS cv2
+       |  FROM upd GROUP BY m, ki),
+       |cb AS (
+       |  SELECT c0.m, c0.ki, COALESCE(u.cv2, c0.cv) AS cv
+       |  FROM cb0 c0 LEFT JOIN updl u ON u.m = c0.m AND u.ki = c0.ki),
+       |code AS (
+       |  SELECT a.vec_id, a.m,
+       |         (SELECT c.ki FROM cb c WHERE c.m = a.m
+       |          ORDER BY list_dot_product(
+       |            list_transform(list_zip(a.sv, c.cv), p -> p[1] - p[2]),
+       |            list_transform(list_zip(a.sv, c.cv), p -> p[1] - p[2])), c.ki
+       |          LIMIT 1) AS ki
+       |  FROM sub a),
+       |qd AS (
+       |  SELECT ci, list_transform(list_zip(q.qv, cn), p -> p[1] - p[2]) AS qr
+       |  FROM cent, q
+       |  ORDER BY list_dot_product(q.qv, cn) DESC, ci LIMIT $nProbe),
+       |lutd AS (
+       |  SELECT d.ci, b.m, b.ki,
+       |         list_dot_product(
+       |           list_transform(list_zip(d.qr[b.m * $dsub + 1 : b.m * $dsub + $dsub], b.cv), p -> p[1] - p[2]),
+       |           list_transform(list_zip(d.qr[b.m * $dsub + 1 : b.m * $dsub + $dsub], b.cv), p -> p[1] - p[2])) AS dm
+       |  FROM qd d, cb b),
+       |adc AS (
+       |  SELECT v.vec_id, any_value(v.label) AS label, any_value(v.list) AS list,
+       |         list_sum(list(l.dm ORDER BY l.m)) AS adist
+       |  FROM res v
+       |  JOIN code k ON k.vec_id = v.vec_id
+       |  JOIN lutd l ON l.ci = v.list AND l.m = k.m AND l.ki = k.ki
+       |  GROUP BY v.vec_id),
+       |cand AS (
+       |  SELECT vec_id, label, list, adist FROM adc
+       |  ORDER BY adist, vec_id LIMIT $nCand),
+       |rer AS (
+       |  SELECT c.vec_id, c.label, c.list,
+       |         list_dot_product(v.emb, q.qv) /
+       |         greatest(sqrt(list_dot_product(v.emb, v.emb)) * sqrt(list_dot_product(q.qv, q.qv)), 1e-300) AS sim
+       |  FROM cand c JOIN res v ON c.vec_id = v.vec_id, q)
+       |SELECT vec_id, label, list, round(sim, 6) AS sim6 FROM rer
        |ORDER BY sim DESC, vec_id LIMIT $k""".stripMargin
   }
 

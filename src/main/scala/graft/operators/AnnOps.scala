@@ -313,6 +313,234 @@ object AnnOps {
     ivfProbe(cents, query, k, nProbe)(spark.read.parquet(storageDir))
   }
 
+  // ---- IVF-PQ: product-quantized residual codes over the stored layout --
+
+  /** Residual of an embedding against its list's (normalized) coarse
+    * centroid: r[j] = emb[j] - cent[list][j], all in double. */
+  def residual(arr: ArrayData, list: Int, cents: Array[Array[Double]]): ArrayData = {
+    val c = cents(list)
+    val out = new Array[Double](c.length)
+    var j = 0
+    while (j < c.length) { out(j) = arr.getFloat(j).toDouble - c(j); j += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  case class ResidualExpr(left: Expression, right: Expression,
+                          cents: Array[Array[Double]])
+      extends BinaryExpression with Serializable {
+    override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+    override def nullIntolerant: Boolean = true
+    override def prettyName: String = "ivf_residual"
+    override protected def nullSafeEval(v: Any, l: Any): Any =
+      residual(v.asInstanceOf[ArrayData], l.asInstanceOf[Int], cents)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val cs = ctx.addReferenceObj("cents", cents, "double[][]")
+      nullSafeCodeGen(ctx, ev, (e, l) =>
+        s"${ev.value} = graft.operators.AnnOps.residual($e, $l, $cs);")
+    }
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+      copy(left = l, right = r)
+  }
+
+  /** PQ encode: per subspace m (dsub dims of the residual), the index of
+    * the codebook entry with the smallest L2 distance (strict <, ties ->
+    * lowest index — the first-wins argmin the SQL oracle mirrors). */
+  def pqEncode(arr: ArrayData, list: Int, cents: Array[Array[Double]],
+               cbs: Array[Array[Array[Double]]]): ArrayData = {
+    val c = cents(list)
+    val m = cbs.length
+    val dsub = cbs(0)(0).length
+    val out = new Array[Short](m)
+    var mi = 0
+    while (mi < m) {
+      val cb = cbs(mi)
+      var best = 0; var bd = Double.PositiveInfinity
+      var ki = 0
+      while (ki < cb.length) {
+        val cv = cb(ki)
+        var s = 0.0; var j = 0
+        while (j < dsub) {
+          val d = (arr.getFloat(mi * dsub + j).toDouble - c(mi * dsub + j)) - cv(j)
+          s += d * d; j += 1
+        }
+        if (s < bd) { bd = s; best = ki }
+        ki += 1
+      }
+      out(mi) = best.toShort
+      mi += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  case class PqEncodeExpr(left: Expression, right: Expression,
+                          cents: Array[Array[Double]],
+                          cbs: Array[Array[Array[Double]]])
+      extends BinaryExpression with Serializable {
+    override def dataType: DataType = ArrayType(ShortType, containsNull = false)
+    override def nullIntolerant: Boolean = true
+    override def prettyName: String = "pq_encode"
+    override protected def nullSafeEval(v: Any, l: Any): Any =
+      pqEncode(v.asInstanceOf[ArrayData], l.asInstanceOf[Int], cents, cbs)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val cs = ctx.addReferenceObj("cents", cents, "double[][]")
+      val bs = ctx.addReferenceObj("cbs", cbs, "double[][][]")
+      nullSafeCodeGen(ctx, ev, (e, l) =>
+        s"${ev.value} = graft.operators.AnnOps.pqEncode($e, $l, $cs, $bs);")
+    }
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+      copy(left = l, right = r)
+  }
+
+  /** Asymmetric-distance (ADC) score: sum over subspaces, in subspace
+    * order, of the precomputed per-list LUT entry for the row's code —
+    * the PQ scan touches only the code bytes, never the float vector. */
+  def pqAdc(codes: ArrayData, list: Int, lut: Array[Array[Array[Double]]]): Double = {
+    val l = lut(list)
+    var s = 0.0; var m = 0
+    while (m < l.length) { s += l(m)(codes.getShort(m).toInt); m += 1 }
+    s
+  }
+
+  case class PqAdcExpr(left: Expression, right: Expression,
+                       lut: Array[Array[Array[Double]]])
+      extends BinaryExpression with Serializable {
+    override def dataType: DataType = DoubleType
+    override def nullIntolerant: Boolean = true
+    override def prettyName: String = "pq_adc"
+    override protected def nullSafeEval(c: Any, l: Any): Any =
+      pqAdc(c.asInstanceOf[ArrayData], l.asInstanceOf[Int], lut)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val lt = ctx.addReferenceObj("lut", lut, "double[][][]")
+      nullSafeCodeGen(ctx, ev, (c, l) =>
+        s"${ev.value} = graft.operators.AnnOps.pqAdc($c, $l, $lt);")
+    }
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+      copy(left = l, right = r)
+  }
+
+  /** PQ codebook seeds: the residual subvectors of the first `k` vectors
+    * by vec_id (deterministic, like [[ivfCentroids]]) — cbs(m)(ki) is a
+    * dsub-dim L2 codeword. Driver-side, k rows. */
+  def pqSeedCodebooks(df: DataFrame, cents: Array[Array[Double]],
+                      m: Int, k: Int): Array[Array[Array[Double]]] = {
+    val dims = cents(0).length
+    val dsub = dims / m
+    val firsts = df.select(col("vec_id"), col("embedding"))
+      .orderBy(col("vec_id")).limit(k).collect()
+      .map(_.getSeq[Float](1).map(_.toDouble).toArray)
+    Array.tabulate(m) { mi =>
+      firsts.map { e =>
+        // assign to its coarse list exactly like ArgMaxDots (first-wins)
+        var best = 0; var bd = Double.NegativeInfinity
+        var ci = 0
+        while (ci < cents.length) {
+          var s = 0.0; var j = 0
+          while (j < dims) { s += e(j) * cents(ci)(j); j += 1 }
+          if (s > bd) { bd = s; best = ci }
+          ci += 1
+        }
+        Array.tabulate(dsub)(j => e(mi * dsub + j) - cents(best)(mi * dsub + j))
+      }
+    }
+  }
+
+  /** One integer-exact Lloyd round over the PQ codebooks: every residual
+    * subvector is assigned to its nearest seed codeword, then each
+    * codeword moves to the member mean computed in EXACT integer space
+    * (components quantized to 1e-6, summed as BIGINT — order-free, so
+    * Spark's partial aggregation and a single-threaded SQL oracle agree
+    * bit-for-bit). Empty codewords keep their seed. The update is
+    * m x k x dsub rows — driver-tiny at any scale. */
+  def pqTrainCodebooks(assigned: DataFrame, cents: Array[Array[Double]],
+                       m: Int, k: Int): Array[Array[Array[Double]]] = {
+    val seeds = pqSeedCodebooks(assigned, cents, m, k)
+    val dsub = cents(0).length / m
+    val Q = 1000000.0
+    val res = ExpressionUtils.column(ResidualExpr(
+      ExpressionUtils.expression(col("embedding")),
+      ExpressionUtils.expression(col("list")), cents))
+    val codes0 = ExpressionUtils.column(PqEncodeExpr(
+      ExpressionUtils.expression(col("embedding")),
+      ExpressionUtils.expression(col("list")), cents, seeds))
+    val upd = assigned
+      .select(res.as("r"), posexplode(codes0).as(Seq("m", "ki")))
+      .select(col("m"), col("ki"),
+        posexplode(slice(col("r"), col("m") * lit(dsub) + lit(1), lit(dsub)))
+          .as(Seq("j", "v")))
+      .groupBy(col("m"), col("ki"), col("j"))
+      .agg(sum(floor(col("v") * Q + lit(0.5)).cast(LongType)).as("s"),
+        count(lit(1)).as("n"))
+      .collect()
+    val cbs = seeds.map(_.map(_.clone()))
+    upd.foreach { r =>
+      // ki comes back SHORT (posexplode of the array<short> codes)
+      cbs(r.getInt(0))(r.getAs[Number](1).intValue())(r.getInt(2)) =
+        (r.getLong(3).toDouble / r.getLong(4)) / Q
+    }
+    cbs
+  }
+
+  /** IVF-PQ over the STORED layout: coarse seed centroids; PQ codebooks
+    * trained with one integer-exact Lloyd round on the residuals; the
+    * table written list-partitioned with an `codes` array<short> column;
+    * the probe scans ONLY (vec_id, list, codes) of the nProbe pruned
+    * partitions — at 100 TB that is m bytes per vector instead of 4*dims
+    * (the column-pruned ADC scan is the whole point of PQ); the top
+    * `nCand` ADC candidates (ties -> vec_id) are then exact-reranked by
+    * one broadcast join back to the store for their float vectors. */
+  def ivfPqStoredTopK(query: Array[Double], k: Int, nLists: Int, nProbe: Int,
+                      m: Int, codebookK: Int, nCand: Int, storageDir: String)
+                     (df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    val dims = query.length
+    val dsub = dims / m
+    val cents = ivfCentroids(df, nLists)
+    val assigned = ivfAssignWith(cents)(df)
+    val cbs = pqTrainCodebooks(assigned, cents, m, codebookK)
+    val codes = ExpressionUtils.column(PqEncodeExpr(
+      ExpressionUtils.expression(col("embedding")),
+      ExpressionUtils.expression(col("list")), cents, cbs))
+    assigned.select(col("vec_id"), col("label"), col("embedding"),
+        codes.as("codes"), col("list"))
+      .write.mode("overwrite").partitionBy("list").parquet(storageDir)
+
+    val qDots = cents.map(c => c.zip(query).map { case (a, b) => a * b }.sum)
+    val probes = qDots.zipWithIndex.sortBy { case (d, i) => (-d, i) }
+      .take(nProbe).map(_._2)
+    // per-list ADC LUT (unprobed lists left null — filtered before use)
+    val lut = new Array[Array[Array[Double]]](nLists)
+    probes.foreach { l =>
+      val qr = Array.tabulate(dims)(j => query(j) - cents(l)(j))
+      lut(l) = Array.tabulate(m) { mi =>
+        Array.tabulate(codebookK) { ki =>
+          var s = 0.0; var j = 0
+          while (j < dsub) {
+            val d = qr(mi * dsub + j) - cbs(mi)(ki)(j); s += d * d; j += 1
+          }
+          s
+        }
+      }
+    }
+    val stored = spark.read.parquet(storageDir)
+    val probed = stored.filter(col("list").isin(probes.toSeq: _*))
+    val adc = ExpressionUtils.column(PqAdcExpr(
+      ExpressionUtils.expression(col("codes")),
+      ExpressionUtils.expression(col("list").cast(IntegerType)), lut))
+    val cand = probed
+      .select(col("vec_id"), col("list").cast(IntegerType).as("list"),
+        adc.as("adist"))
+      .orderBy(col("adist"), col("vec_id"))
+      .limit(nCand)
+    val qn = math.sqrt(query.map(x => x * x).sum)
+    val fetch = probed.select(col("vec_id"), col("label"), col("embedding"))
+    broadcast(cand).join(fetch, "vec_id")
+      .select(col("vec_id"), col("label"), col("list"),
+        (dotConst(col("embedding"), query) /
+          greatest(norm(col("embedding")) * lit(qn), lit(java.lang.Double.MIN_VALUE))).as("sim"))
+      .orderBy(col("sim").desc, col("vec_id"))
+      .limit(k)
+  }
+
   /** Embedding-cosine near-duplicate pairs within LSH buckets: self-join
     * each bucket (plus nothing else — the bucket IS the blocking key),
     * keep pairs with cosine above threshold. */
