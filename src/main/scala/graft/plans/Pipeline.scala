@@ -116,7 +116,9 @@ object Pipeline {
       case "readers.icebridge" =>
         val p = st.str("path").get
         if (p.exists("*?[".contains(_))) Icebridge.asDistributedDataFrame(spark, p)
-        else Icebridge.asDataFrame(spark, p)
+        else Icebridge.asDataFrame(spark, p,
+          // `count` prunes the HDF5 chunk B-tree walk to rows [0, count)
+          st.int("count").map(_.toLong).getOrElse(Long.MaxValue))
       case "readers.pcd" =>
         val p = st.str("path").get
         if (p.exists("*?[".contains(_))) Pcd.asDistributedDataFrame(spark, p)

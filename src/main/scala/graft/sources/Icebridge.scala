@@ -195,16 +195,24 @@ object Hdf5Lite {
         compact, chunked, filters)
     }
 
-    /** Raw element bytes of a chunked rank-1 dataset: walk the v1
-      * raw-data B-tree (node type 1), inflate each chunk, place it at
-      * its logical offset, clamp the edge chunk. */
-    private def chunkedBytes(d: Dataset): Array[Byte] = {
+    /** Raw element bytes of rows [lo, hi) of a chunked rank-1 dataset:
+      * walk the v1 raw-data B-tree (node type 1), and for every LEAF
+      * chunk intersecting the range, inflate it and place the overlap
+      * at its logical offset; chunks wholly outside [lo, hi) are never
+      * touched (no copy, no inflate, no de-shuffle) — the chunk-level
+      * pruning a record-range read lives on (proven by the
+      * corrupted-excluded-chunk spec: a damaged out-of-range chunk is
+      * invisible to a range read and fatal to a full one). Pruning is
+      * applied at the leaf level, where each entry's own key carries
+      * the chunk's start row — internal nodes are always descended
+      * (their per-child extents would need the sibling key; leaf-key
+      * walks are cheap next to the skipped inflates). */
+    private def chunkedBytes(d: Dataset, lo: Long, hi: Long): Array[Byte] = {
       val ch = d.chunked.get
-      val n = d.dims.head
       val elem = ch.chunkDims.last
       require(elem == d.tsize, s"hdf5: chunk elem size $elem != type size ${d.tsize}")
       val chunkRows = ch.chunkDims.head.toLong
-      val out = new Array[Byte]((n * d.tsize).toInt)
+      val out = new Array[Byte](((hi - lo) * d.tsize).toInt)
       val keyLen = 8 + 8 * ch.chunkDims.size // size+mask + ndim offsets
       def walk(addr: Long): Unit = {
         val at = addr.toInt
@@ -219,7 +227,7 @@ object Hdf5Lite {
           val rowOff = bb.getLong(p + 8) // first (slowest) dim offset
           val child = bb.getLong(p + keyLen)
           if (level > 0) walk(child)
-          else {
+          else if (rowOff + chunkRows > lo && rowOff < hi) {
             val raw = java.util.Arrays.copyOfRange(
               bytes, child.toInt, child.toInt + chunkBytes)
             var data = if (d.filters.contains(1)) {
@@ -253,9 +261,13 @@ object Hdf5Lite {
               }
               data = un
             }
-            val dstOff = (rowOff * d.tsize).toInt
-            val len = math.min(data.length.toLong, out.length - dstOff.toLong).toInt
-            if (len > 0) System.arraycopy(data, 0, out, dstOff, len)
+            val dataRows = data.length / d.tsize
+            val from = math.max(rowOff, lo)
+            val until = math.min(rowOff + dataRows, hi)
+            if (until > from)
+              System.arraycopy(data, ((from - rowOff) * d.tsize).toInt,
+                out, ((from - lo) * d.tsize).toInt,
+                ((until - from) * d.tsize).toInt)
           }
           p += keyLen + 8
         }
@@ -267,12 +279,32 @@ object Hdf5Lite {
     /** Read a rank-1 dataset as doubles. */
     def readVector(path: String): Array[Double] = {
       val d = dataset(path)
+      readVectorRange(path, 0L, d.dims.head)
+    }
+
+    /** Number of rows of a rank-1 dataset — header-only, no data read. */
+    def rowCount(path: String): Long = {
+      val d = dataset(path)
       require(d.rank == 1, s"hdf5: $path has rank ${d.rank}, want 1")
-      val n = d.dims.head.toInt
+      d.dims.head
+    }
+
+    /** Read rows [lo, hi) of a rank-1 dataset as doubles. For a chunked
+      * dataset only the chunks intersecting the range are decompressed
+      * (chunk-range pruning); contiguous/compact layouts slice. */
+    def readVectorRange(path: String, lo: Long, hi0: Long): Array[Double] = {
+      val d = dataset(path)
+      require(d.rank == 1, s"hdf5: $path has rank ${d.rank}, want 1")
+      val hi = math.min(hi0, d.dims.head)
+      require(lo >= 0 && lo <= hi, s"hdf5: bad row range [$lo, $hi0)")
+      val n = (hi - lo).toInt
       val raw =
-        if (d.chunked.isDefined) chunkedBytes(d)
-        else d.compact.getOrElse(
-          java.util.Arrays.copyOfRange(bytes, d.dataAt.toInt, (d.dataAt + d.dataLen).toInt))
+        if (d.chunked.isDefined) chunkedBytes(d, lo, hi)
+        else {
+          val full = d.compact.getOrElse(
+            java.util.Arrays.copyOfRange(bytes, d.dataAt.toInt, (d.dataAt + d.dataLen).toInt))
+          java.util.Arrays.copyOfRange(full, (lo * d.tsize).toInt, (hi * d.tsize).toInt)
+        }
       val rb = ByteBuffer.wrap(raw)
         .order(if (d.littleEndian) ByteOrder.LITTLE_ENDIAN else ByteOrder.BIG_ENDIAN)
       Array.tabulate(n) { i =>
@@ -325,9 +357,19 @@ object Icebridge {
       StructField(name, dt, nullable = false)
     })
 
-  def decode(bytes: Array[Byte], docId: String): (StructType, Seq[Row]) = {
+  def decode(bytes: Array[Byte], docId: String): (StructType, Seq[Row]) =
+    decode(bytes, docId, 0L, Long.MaxValue)
+
+  /** Decode rows [lo, hi) only: the HDF5 chunk B-tree walk skips (never
+    * inflates) chunks outside the range — a `count`-limited or split
+    * read touches O(range) of a granule's compressed bytes, not all of
+    * it. span_idx stays the ABSOLUTE row index. */
+  def decode(bytes: Array[Byte], docId: String,
+             lo: Long, hi0: Long): (StructType, Seq[Row]) = {
     val f = new Hdf5Lite.File(bytes)
-    val vecs = columns.map { case (path, _, _) => f.readVector(path) }
+    val total = columns.map { case (path, _, _) => f.rowCount(path) }.min
+    val hi = math.min(hi0, total)
+    val vecs = columns.map { case (path, _, _) => f.readVectorRange(path, lo, hi) }
     val n = vecs.map(_.length).min
     require(vecs.forall(_.length == n),
       s"icebridge: ragged datasets (${vecs.map(_.length).mkString(",")})")
@@ -340,15 +382,16 @@ object Icebridge {
         else if (isInt) v.toInt
         else v.toFloat
       }
-      Row.fromSeq(docId +: i +: vals)
+      Row.fromSeq(docId +: (lo + i).toInt +: vals)
     }
     (schema, rows)
   }
 
-  def asDataFrame(spark: SparkSession, path: String): DataFrame = {
+  def asDataFrame(spark: SparkSession, path: String,
+                  count: Long = Long.MaxValue): DataFrame = {
     val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path))
     val docId = path.substring(path.lastIndexOf('/') + 1)
-    val (sch, rows) = decode(bytes, docId)
+    val (sch, rows) = decode(bytes, docId, 0L, count)
     spark.createDataFrame(
       spark.sparkContext.parallelize(rows, math.max(1, rows.size / 100000)), sch)
   }

@@ -152,6 +152,39 @@ class IcebridgeSpec extends AnyFunSuite {
       s"unexpected message: ${boom.getMessage}")
   }
 
+  test("chunk-range pruning: an out-of-range corrupt chunk is never touched") {
+    // the middle chunk (rows 3-5) is a truncated deflate stream; a range
+    // read that excludes it must succeed (pruned before any inflate),
+    // one that includes it must fail — the same proof shape as the
+    // LAZ/BPF selective-decode specs
+    val f = new Hdf5Lite.File(chunkedImage(corruptChunk = true))
+    assert(f.readVectorRange("v", 0, 3).toSeq ===
+      chunkedValues.take(3).map(_.toDouble).toSeq)
+    assert(f.readVectorRange("v", 6, 7).toSeq ===
+      chunkedValues.drop(6).map(_.toDouble).toSeq)
+    intercept[IllegalArgumentException] { f.readVectorRange("v", 3, 6) }
+    intercept[IllegalArgumentException] { f.readVectorRange("v", 0, 7) }
+    // range slicing is exact on a healthy image, including mid-chunk cuts
+    val ok = new Hdf5Lite.File(chunkedImage(corruptChunk = false))
+    assert(ok.rowCount("v") === 7L)
+    for (lo <- 0 to 6; hi <- lo to 7)
+      assert(ok.readVectorRange("v", lo, hi).toSeq ===
+        chunkedValues.slice(lo, hi).map(_.toDouble).toSeq, s"range [$lo,$hi)")
+  }
+
+  test("readers.icebridge count option reads only the leading chunks") {
+    // decode with a count on the fixture granule: rows and span_idx
+    // match the full decode's prefix
+    val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(H5))
+    val full = Icebridge.decode(bytes, "g")._2
+    val lim = Icebridge.decode(bytes, "g", 0L, 1L)._2
+    assert(lim.size === 1 && lim.head === full.head)
+    // and through the pipeline option on the chunked fixture shape
+    val sliced = Icebridge.decode(bytes, "g", 1L, 2L)._2
+    assert(sliced.size === (full.size - 1) &&
+      sliced.head === full(1) && sliced.head.getInt(1) === 1)
+  }
+
   test("parser fails loudly outside the supported subset") {
     val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(H5))
     val f = new Hdf5Lite.File(bytes)
