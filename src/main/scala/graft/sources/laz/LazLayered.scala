@@ -31,7 +31,11 @@ import LazEncoder.{ArithmeticEncoder, IntegerCompressorEnc}
   * and context formulas inside each layer), this codec makes its own
   * deterministic choices — encoder and decoder here mirror each other
   * case-for-case and are pinned by round-trip + ScalaCheck property
-  * specs. NO external 1.4 .laz fixture exists in the reference tree
+  * specs. The field-by-field SPEC-vs-MIRROR classification, with the
+  * laszip v3 construct each MIRROR row should be diffed against, is
+  * the conformance table in SCALE.md ("Compressor-3 conformance
+  * table"); `tools/external_validate.sh` automates the falsification
+  * given a real laszip. NO external 1.4 .laz fixture exists in the reference tree
   * (its vendored-laszip era predates compressor 3), so bit-parity with
   * external laszip streams is not claimable from this sandbox; decoding
   * a third-party compressor-3 file is NOT supported and this module is
