@@ -15,11 +15,15 @@ import graft.index.CellSpace
 object EntryPipelines {
 
   private def pts(s: SparkSession, dir: String): DataFrame = DocSynth.points(s, dir)
-  private def docs(s: SparkSession, dir: String): DataFrame =
-    // the documents parquet is one file (one scan partition): fan out so
-    // per-row text analysis uses every core
-    s.read.parquet(s"$dir/documents.parquet")
-      .repartition(s.sparkContext.defaultParallelism)
+  private def docs(s: SparkSession, dir: String): DataFrame = {
+    // the sandbox documents parquet is one file (one scan partition):
+    // fan out so per-row text analysis uses every core — but only when
+    // the scan actually under-partitions (a real multi-file table is
+    // already parallel; don't bake a full shuffle into the helper)
+    val df = s.read.parquet(s"$dir/documents.parquet")
+    val par = s.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= par) df else df.repartition(par)
+  }
   private def embs(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/embeddings.parquet")
 
