@@ -27,6 +27,32 @@ object EntryPipelines {
   private def embs(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/embeddings.parquet")
 
+  /** One stable per-SESSION store dir (appId-suffixed) for the stored
+    * ANN layouts, reused via overwrite mode — repeated oracle/bench runs
+    * in one session do not accrete stores, concurrent sessions on one
+    * host cannot interleave overwrites of the same store, and a JVM
+    * shutdown hook removes the dir so runs don't accrete ACROSS
+    * sessions either (one hook per distinct dir). */
+  private val hookedDirs = scala.collection.concurrent.TrieMap.empty[String, Unit]
+  private def sessionStoreDir(s: SparkSession, prefix: String): String = {
+    val dir = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"),
+      s"$prefix-${s.sparkContext.applicationId}").toString
+    hookedDirs.putIfAbsent(dir, ()) match {
+      case None =>
+        Runtime.getRuntime.addShutdownHook(new Thread(() => {
+          def rm(p: java.io.File): Unit = {
+            val kids = p.listFiles()
+            if (kids != null) kids.foreach(rm)
+            p.delete(): Unit
+          }
+          rm(new java.io.File(dir))
+        }))
+      case Some(_) =>
+    }
+    dir
+  }
+
   /** Query vector for ANN fixtures: a deterministic unit-ish vector. */
   private val queryVec: Array[Double] =
     Array.tabulate(64)(d => math.sin(d + 1.0))
@@ -162,15 +188,8 @@ object EntryPipelines {
     // list-partitioned parquet write, probe run cold against the stored
     // table (partition pruning — the 100 TB vector-store path)
     "q_ann_ivf_stored" -> ((s, dir) => {
-      // one stable per-SESSION store dir (appId-suffixed), reused via
-      // overwrite mode — repeated oracle/bench runs do not accrete
-      // abandoned parquet stores, and concurrent sessions on one host
-      // cannot interleave overwrites of the same store
-      val tmp = java.nio.file.Paths.get(
-        sys.props("java.io.tmpdir"),
-        s"graft-ivf-store-${s.sparkContext.applicationId}").toString
       AnnOps.ivfStoredTopK(queryVec, k = 20, nLists = 16, nProbe = 4,
-        kmeansIters = 1, storageDir = tmp)(embs(s, dir))
+        kmeansIters = 1, storageDir = sessionStoreDir(s, "graft-ivf-store"))(embs(s, dir))
         .select(col("vec_id"), col("label"), col("list"),
           round(col("sim"), 6).as("sim6"))
     }),
@@ -179,11 +198,9 @@ object EntryPipelines {
     // the probe scans only the codes column of the pruned partitions,
     // top-60 ADC candidates exact-reranked via one broadcast join
     "q_ann_ivf_pq" -> ((s, dir) => {
-      val tmp = java.nio.file.Paths.get(
-        sys.props("java.io.tmpdir"),
-        s"graft-ivfpq-store-${s.sparkContext.applicationId}").toString
       AnnOps.ivfPqStoredTopK(queryVec, k = 20, nLists = 16, nProbe = 4,
-        m = 8, codebookK = 16, nCand = 60, storageDir = tmp)(embs(s, dir))
+        m = 8, codebookK = 16, nCand = 60,
+        storageDir = sessionStoreDir(s, "graft-ivfpq-store"))(embs(s, dir))
         .select(col("vec_id"), col("label"), col("list"),
           round(col("sim"), 6).as("sim6"))
     }),
