@@ -6,7 +6,7 @@ import org.json4s._
 import org.json4s.jackson.JsonMethods
 
 import graft.operators._
-import graft.sources.{Bpf, DocSynth, Faux, Icebridge, LasDecode, LasWriter, Nitf, Optech, Pcd, Ply, Qfit, Sbet, Terrasolid}
+import graft.sources.{Bpf, DocSynth, Faux, Icebridge, LasDecode, LasWriter, Nitf, Optech, Pcd, Ply, Qfit, RasterWrite, Sbet, Terrasolid}
 import graft.model.Model
 import graft.index.CellSpace
 
@@ -354,11 +354,22 @@ object Pipeline {
         }
         JoinOps.colorize(raster, gt, bands)(in.get)
       case "writers.p2g" =>
-        val d = AggOps.p2gRaster(st.dbl("dx").getOrElse(1.0), st.dbl("dy").getOrElse(1.0),
-          st.dbl("radius").getOrElse(0.7), st.dbl("origin_x").getOrElse(0.0),
-          st.dbl("origin_y").getOrElse(0.0),
+        val (dx, dy) = (st.dbl("dx").getOrElse(1.0), st.dbl("dy").getOrElse(1.0))
+        val (ox, oy) = (st.dbl("origin_x").getOrElse(0.0), st.dbl("origin_y").getOrElse(0.0))
+        val d = AggOps.p2gRaster(dx, dy,
+          st.dbl("radius").getOrElse(0.7), ox, oy,
           st.int("fill_window_size").getOrElse(0))(in.get)
-        d.write.mode("overwrite").parquet(st.str("path").get)
+        // `path` = the scale path (partitioned cell table); `filename` =
+        // the reference's single-file raster emit, one file per
+        // output_type x output_format (P2gWriter.cpp options)
+        st.str("path").foreach(p => d.write.mode("overwrite").parquet(p))
+        st.str("filename").foreach { f =>
+          RasterWrite.writeP2g(f, d, dx, dy, ox, oy,
+            st.strs("output_type").getOrElse(Nil),
+            st.str("output_format").getOrElse("grid")): Unit
+        }
+        require(st.str("path").isDefined || st.str("filename").isDefined,
+          "writers.p2g: need `path` (cell table) or `filename` (raster files)")
         d
 
       // ---- writers -----------------------------------------------------

@@ -126,15 +126,25 @@ object PipelineXml {
       (typ, o.name) match {
         case (_, "dimension") => // handled per-stage above
         case ("filters.stats_passthrough", "dimensions" | "exact_dimensions") =>
+        // p2g's filename is the RASTER file emit (one file per
+        // output_type x output_format, like the reference's
+        // points2grid finish) — not a table path
+        case ("writers.p2g", "filename") => fields :+= ("filename" -> JString(o.value))
         case (_, "filename") => fields :+= ("path" -> JString(o.value))
         case ("filters.crop", "bounds") => fields :+= ("bounds" -> boundsArray(o.value))
         case ("writers.p2g", "grid_dist_x") => fields :+= ("dx" -> typed(o.value))
         case ("writers.p2g", "grid_dist_y") => fields :+= ("dy" -> typed(o.value))
-        // era-only knobs with no engine meaning (chunking is Spark's
-        // job; every p2g output column is always computed)
-        case ("writers.p2g", "chunk_size" | "output_type" | "output_format") =>
+        // era-only knob with no engine meaning (chunking is Spark's job)
+        case ("writers.p2g", "chunk_size") =>
+        // output_type is a MULTI-option in the reference
+        // (options.getOptions collects all) — gathered below
+        case ("writers.p2g", "output_type") =>
         case (_, n) => fields :+= (n -> typed(o.value))
       }
+    }
+    if (typ == "writers.p2g") {
+      val types = opts.filter(_.name == "output_type").map(o => JString(o.value))
+      if (types.nonEmpty) fields :+= ("output_type" -> JArray(types.toList))
     }
     // the reference's p2g writer window-fills nodata cells by default
     // (P2gWriter.cpp:62-63: fill_window_size default 3) — reference

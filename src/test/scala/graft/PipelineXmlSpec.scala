@@ -97,7 +97,15 @@ class PipelineXmlSpec extends AnyFunSuite {
     assert(json.contains("\"dx\":6.0"))
     val out = Pipeline.run(spark, json)
     assert(out.df.count() > 0) // raster cells
-    assert(spark.read.parquet(s"$tmp/autzen_grid").count() === out.df.count())
+    // the fixture's filename + 5 output_type options + asc format ->
+    // five ARC ASCII raster files, points2grid naming
+    Seq("min", "max", "mean", "idw", "den").foreach { t =>
+      val p = java.nio.file.Paths.get(s"$tmp/autzen_grid.$t.asc")
+      assert(java.nio.file.Files.exists(p), s"missing $t raster")
+      val head = new String(java.nio.file.Files.readAllBytes(p), "US-ASCII")
+        .linesIterator.next()
+      assert(head.startsWith("ncols "))
+    }
   }
 
   test("splitter without origin defaults to the first point (F9 counts via XML)") {
