@@ -195,4 +195,69 @@ object StreamOps {
       .start()
     q.awaitTermination()
   }
+
+  /** Extension-dispatched decode shared by the generic landing-dir
+    * ingest below (executor-side; all three codecs return the same
+    * (schema, rows) shape). */
+  def decodeByExt(path: String, bytes: Array[Byte]): (StructType, Seq[org.apache.spark.sql.Row]) = {
+    val docId = path.substring(path.lastIndexOf('/') + 1)
+    path.substring(path.lastIndexOf('.') + 1).toLowerCase match {
+      case "bpf" => graft.sources.Bpf.decode(bytes, docId)
+      case "pcd" => graft.sources.Pcd.decode(bytes, docId)
+      case "ply" => graft.sources.Ply.decode(bytes, docId)
+      case other => throw new IllegalArgumentException(
+        s"streaming ingest: unsupported extension .$other ($path)")
+    }
+  }
+
+  /** Streaming BPF/PCD/PLY landing-dir ingest — the same exactly-once
+    * harness as [[ingestLasFiles]] (file-source checkpoint + idempotent
+    * batch_id-keyed overwrite sink + per-batch lineage), generalized
+    * over the container codecs. Unlike LAS, these formats carry
+    * per-file schemas, so a streaming query needs one pinned schema:
+    * it comes from the FIRST file present at stream start (a real
+    * delivery feed is one sensor = one schema), and any later file
+    * that decodes to a different schema fails the batch loudly rather
+    * than silently coercing. */
+  def ingestPointFiles(spark: SparkSession, landingDir: String, outPath: String,
+                       ckRoot: String, glob: String): Unit = {
+    val dirPath = java.nio.file.Paths.get(landingDir)
+    val matcher = java.nio.file.FileSystems.getDefault.getPathMatcher(s"glob:$glob")
+    val seed = {
+      val s = java.nio.file.Files.list(dirPath)
+      try s.filter(p => matcher.matches(p.getFileName)).sorted().findFirst()
+        .orElseThrow(() => new IllegalArgumentException(
+          s"streaming ingest: no $glob file in $landingDir to pin the schema"))
+      finally s.close()
+    }
+    val schema = decodeByExt(seed.toString,
+      java.nio.file.Files.readAllBytes(seed))._1
+    val binSchema = StructType(Seq(
+      StructField("path", StringType), StructField("modificationTime", TimestampType),
+      StructField("length", LongType), StructField("content", BinaryType)))
+    val stream = spark.readStream.format("binaryFile")
+      .schema(binSchema)
+      .option("pathGlobFilter", glob)
+      .load(landingDir)
+      .select("path", "content")
+    val rowEnc = org.apache.spark.sql.Encoders.row(schema)
+    val q = stream.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val pts = batch.flatMap { r =>
+          val path = r.getString(0)
+          val (sch, rows) = decodeByExt(path, r.getAs[Array[Byte]](1))
+          require(sch == schema,
+            s"streaming ingest: $path schema ${sch.simpleString} != pinned ${schema.simpleString}")
+          rows
+        }(rowEnc)
+        pts.write.mode("overwrite").parquet(s"$outPath/batch_id=$batchId")
+        graft.plans.Manifest.checkpoint(ckRoot, f"ptsbatch_$batchId%05d",
+          s"pts-ingest-$batchId", Nil, pts)
+        ()
+      }
+      .option("checkpointLocation", s"$ckRoot/_pts_stream_ck")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
 }

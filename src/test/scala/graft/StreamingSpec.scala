@@ -121,4 +121,58 @@ class StreamingSpec extends AnyFunSuite {
       .filter(_.getName.startsWith("lasbatch_"))
     assert(manifests.nonEmpty, "no lineage manifests written")
   }
+
+  test("streaming BPF landing-dir ingest: pinned schema, incremental files, schema drift is loud") {
+    import org.apache.spark.sql.functions._
+    val tmp = java.nio.file.Files.createTempDirectory("graftbpfstream").toString
+    val landing = s"$tmp/landing"
+    java.nio.file.Files.createDirectory(java.nio.file.Paths.get(landing))
+    val pts = spark.range(0, 200).select(
+      (col("id") % 20).cast("double").as("x"),
+      (col("id") / 20).cast("double").as("y"),
+      col("id").cast("double").as("z"),
+      (col("id") % 7).cast("int").as("intensity"))
+    graft.sources.Bpf.write(s"$landing/a.bpf", pts.limit(120),
+      graft.sources.Bpf.WriteOpts(format = graft.sources.Bpf.DimMajor, compression = true))
+    graft.sources.Bpf.write(s"$landing/b.bpf", pts.filter(col("z") >= 120),
+      graft.sources.Bpf.WriteOpts(format = graft.sources.Bpf.PointMajor, compression = false))
+    StreamOps.ingestPointFiles(spark, landing, s"$tmp/out", s"$tmp/ck", "*.bpf")
+    val out1 = spark.read.parquet(s"$tmp/out")
+    assert(out1.count() === 200, s"got ${out1.count()}")
+    assert(out1.select("doc_id").distinct().count() === 2)
+    // drop a third file: only IT is ingested (file-source checkpoint)
+    graft.sources.Bpf.write(s"$landing/c.bpf", pts.limit(5),
+      graft.sources.Bpf.WriteOpts(format = graft.sources.Bpf.ByteMajor, compression = true))
+    StreamOps.ingestPointFiles(spark, landing, s"$tmp/out", s"$tmp/ck", "*.bpf")
+    assert(spark.read.parquet(s"$tmp/out").count() === 205)
+    // a file with a DIFFERENT dim set must fail the batch loudly
+    graft.sources.Bpf.write(s"$landing/drift.bpf",
+      pts.limit(3).withColumn("extra_dim", lit(1.5)),
+      graft.sources.Bpf.WriteOpts())
+    val boom = intercept[Exception] {
+      StreamOps.ingestPointFiles(spark, landing, s"$tmp/out", s"$tmp/ck", "*.bpf")
+    }
+    assert(stackMessages(boom).exists(_.contains("schema")),
+      s"unexpected failure: ${stackMessages(boom).mkString(" | ")}")
+  }
+
+  test("streaming PCD landing-dir ingest end-to-end") {
+    import org.apache.spark.sql.functions._
+    val tmp = java.nio.file.Files.createTempDirectory("graftpcdstream").toString
+    val landing = s"$tmp/landing"
+    java.nio.file.Files.createDirectory(java.nio.file.Paths.get(landing))
+    val pts = spark.range(0, 60).select(
+      col("id").cast("double").as("x"), (col("id") * 2).cast("double").as("y"),
+      lit(1.25).as("z"))
+    graft.sources.Pcd.write(s"$landing/a.pcd", pts.limit(40), "binary_compressed")
+    graft.sources.Pcd.write(s"$landing/b.pcd", pts.filter(col("x") >= 40), "ascii")
+    StreamOps.ingestPointFiles(spark, landing, s"$tmp/out", s"$tmp/ck", "*.pcd")
+    val out = spark.read.parquet(s"$tmp/out")
+    assert(out.count() === 60)
+    assert(out.agg(sum("x")).head().getDouble(0) === (0 until 60).map(_.toDouble).sum)
+  }
+
+  private def stackMessages(t: Throwable): Seq[String] =
+    Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(8)
+      .map(e => Option(e.getMessage).getOrElse("")).toSeq
 }
