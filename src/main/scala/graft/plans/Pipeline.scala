@@ -6,7 +6,7 @@ import org.json4s._
 import org.json4s.jackson.JsonMethods
 
 import graft.operators._
-import graft.sources.{Bpf, DocSynth, Faux, Icebridge, LasDecode, LasWriter, Nitf, Optech, Pcd, Ply, Qfit, RasterWrite, Sbet, Terrasolid}
+import graft.sources.{Bpf, DocSynth, Faux, Icebridge, LasDecode, LasWriter, Nitf, Optech, Pcd, Ply, Qfit, RasterWrite, RialtoWrite, Sbet, Terrasolid}
 import graft.model.Model
 import graft.index.CellSpace
 
@@ -334,6 +334,13 @@ object Pipeline {
           st.int("polynomial_order").getOrElse(2), space(st))(in.get)
       case "filters.merge" =>
         in.get // n-ary merge handled by the runner (union of its inputs)
+      case "writers.rialto" =>
+        val d = in.get
+        RialtoWrite.write(st.str("path").get, d,
+          st.int("max_level").getOrElse(16),
+          st.str("ordinal").getOrElse("span_idx"),
+          st.bool("overwrite").getOrElse(false)): Unit
+        d
       case "filters.lod" =>
         TileOps.lodPyramid(st.int("max_level").getOrElse(4), space(st),
           st.str("ordinal").getOrElse("span_idx"))(in.get)
