@@ -353,9 +353,22 @@ object Pipeline {
           st.int("base_level").getOrElse(4), st.int("max_level").getOrElse(12),
           space(st))(in.get)
       case "filters.colorization" =>
-        // raster read from parquet (px, py, band columns)
-        val raster = spark.read.parquet(st.str("raster").get)
-        val gt = st.dbls("geotransform").get.toArray
+        // raster from parquet (px, py, band columns) or a .tif written
+        // by writers.p2g (single Float32 band named "band1"; the
+        // geotransform comes from its ModelPixelScale/ModelTiepoint
+        // tags — like the reference's GDALOpen path)
+        val rPath = st.str("raster").get
+        val (raster, gt) =
+          if (rPath.toLowerCase.endsWith(".tif")) {
+            val (w, h, (sx, sy), (ox, oy), vals) = RasterWrite.readGeoTiff(
+              java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(rPath)))
+            val rows = for (r <- 0 until h; c <- 0 until w;
+                v = vals(r * w + c); if v != RasterWrite.NoData.toFloat)
+              yield (c.toLong, r.toLong, v.toDouble)
+            import spark.implicits._
+            (spark.createDataset(rows).toDF("px", "py", "band1"),
+              Array(ox, sx, 0.0, oy, 0.0, -sy))
+          } else (spark.read.parquet(rPath), st.dbls("geotransform").get.toArray)
         val bands = st.strs("bands").getOrElse(Nil).map { b =>
           val Array(rc, dim, sc) = b.split(":"); (rc, dim, sc.toDouble)
         }

@@ -87,6 +87,27 @@ class RasterWriteSpec extends AnyFunSuite {
         s"cell ($px,$py)")
   }
 
+  test("p2g .tif feeds filters.colorization: write raster, colorize points from it") {
+    val dir = java.nio.file.Files.createTempDirectory("grafttifcolor").toString
+    // 3x1 grid of mean-z values at cells x in {0,1,2}, dx=dy=2
+    val pts = spark.range(0, 30).select(
+      (col("id") % 3 * 2 + 1).cast("double").as("x"),
+      lit(1.0).as("y"),
+      (col("id") % 3 * 100).cast("double").as("z"))
+    val cellsDf = AggOps.p2gRaster(2.0, 2.0, 0.9, 0.0, 0.0)(pts)
+    RasterWrite.writeP2g(s"$dir/r", cellsDf, 2.0, 2.0, 0.0, 0.0, Seq("mean"), "tif")
+    val spec = s"""{"pipeline":[
+      {"type":"readers.faux","count":3,"mode":"ramp",
+       "bounds":[1.0,1.0,0.0,5.0,1.0,0.0]},
+      {"type":"filters.colorization","raster":"$dir/r.mean.tif",
+       "bands":["band1:sampled_z:1.0"]}]}"""
+    val out = graft.plans.Pipeline.run(spark, spec).df
+      .select("x", "sampled_z").collect().map(r => (r.getDouble(0), r.getDouble(1)))
+      .sortBy(_._1)
+    // faux ramp x = 1,3,5 -> cells 0,1,2 -> mean z 0,100,200
+    assert(out === Array((1.0, 0.0), (3.0, 100.0), (5.0, 200.0)))
+  }
+
   test("pipeline writers.p2g filename option emits raster files") {
     val dir = java.nio.file.Files.createTempDirectory("graftp2gpipe").toString
     val las = "/root/reference/test/data/las/1.2-with-color.las"
