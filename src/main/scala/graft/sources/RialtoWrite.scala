@@ -180,8 +180,13 @@ object RialtoWrite {
       (0 to ml).map { level =>
         val (tx, ty) = tileOf(lon, lat, level)
         val skip = math.pow(4.0, (ml - level).toDouble).toLong
-        Row(level, tx, ty, ord % skip == 0L,
-          if (level == ml) 0 else childBit(lon, lat, level), ord, rec)
+        val keep = ord % skip == 0L
+        // un-retained memberships exist only for tile presence + child
+        // masks — shipping their record bytes would multiply shuffle
+        // volume by (maxLevel+1); the retained sum is a 4/3 bound
+        Row(level, tx, ty, keep,
+          if (level == ml) 0 else childBit(lon, lat, level), ord,
+          if (keep) rec else Array.emptyByteArray)
       }
     }(membEnc)
     // one shuffle on the tile key; records kept in ordinal order

@@ -96,4 +96,20 @@ else
     fi
   fi
 fi
+echo "== GeoTIFF leg (writers.p2g tif output vs gdalinfo)"
+GDALINFO=$(find_tool gdalinfo || true)
+if [ -n "$GDALINFO" ] && [ -n "$PDAL" ]; then
+  # write a tif through the pipeline, let GDAL parse it
+  cat > "$WORK/p2g.json" <<EOF
+{"pipeline":[{"type":"readers.las","path":"$LAS"},
+ {"type":"writers.p2g","filename":"$WORK/xval","dx":50,"dy":50,
+  "radius":36,"output_type":["mean"],"output_format":"tif"}]}
+EOF
+  $SBT "runMain graft.tools.PipelineRun $WORK/p2g.json" || true
+  if [ -f "$WORK/xval.mean.tif" ]; then
+    "$GDALINFO" "$WORK/xval.mean.tif" && echo "PASS [tif] gdalinfo parses our GeoTIFF"
+  fi
+else
+  echo "SKIP (no gdalinfo on PATH)"
+fi
 echo "done. artifacts kept in $WORK"
