@@ -221,17 +221,20 @@ object StreamOps {
     * than silently coercing. */
   def ingestPointFiles(spark: SparkSession, landingDir: String, outPath: String,
                        ckRoot: String, glob: String): Unit = {
-    val dirPath = java.nio.file.Paths.get(landingDir)
-    val matcher = java.nio.file.FileSystems.getDefault.getPathMatcher(s"glob:$glob")
-    val seed = {
-      val s = java.nio.file.Files.list(dirPath)
-      try s.filter(p => matcher.matches(p.getFileName)).sorted().findFirst()
-        .orElseThrow(() => new IllegalArgumentException(
-          s"streaming ingest: no $glob file in $landingDir to pin the schema"))
-      finally s.close()
+    // schema seed via Hadoop FS so scheme'd (object-store) landing dirs
+    // work the same as local ones
+    val hPath = new org.apache.hadoop.fs.Path(landingDir)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val seed = fs.globStatus(new org.apache.hadoop.fs.Path(hPath, glob))
+      .map(_.getPath).sortBy(_.getName).headOption
+      .getOrElse(throw new IllegalArgumentException(
+        s"streaming ingest: no $glob file in $landingDir to pin the schema"))
+    val seedBytes = {
+      val in = fs.open(seed)
+      try org.apache.hadoop.io.IOUtils.readFullyToByteArray(in)
+      finally in.close()
     }
-    val schema = decodeByExt(seed.toString,
-      java.nio.file.Files.readAllBytes(seed))._1
+    val schema = decodeByExt(seed.toString, seedBytes)._1
     val binSchema = StructType(Seq(
       StructField("path", StringType), StructField("modificationTime", TimestampType),
       StructField("length", LongType), StructField("content", BinaryType)))
