@@ -106,6 +106,20 @@ object EntryPipelines {
           round(col("x"), 9).as("lon9"), round(col("y"), 9).as("lat9"))
     }),
 
+    // NTv2 NAD27->NAD83 datum grid shift (codegen'd GridShift expression
+    // over the demo grid, constructed THROUGH the .gsb write->parse
+    // codec). The oracle mirrors Ntv2.bilinear/demoLatShift/demoLonShift
+    // term for term — any edit there must be mirrored in gridShiftSql.
+    "q_grid_shift" -> ((s, dir) => {
+      val g = graft.sources.Ntv2.demoGrid()
+      val geo = pts(s, dir).withColumns(Map(
+        "x" -> (lit(-125.0) + col("x") * lit(9.0 / 1024)),
+        "y" -> (lit(40.0) + col("y") * lit(8.0 / 1024))))
+      Reproject.gridShiftForward(g)(geo)
+        .select(col("doc_id"), col("span_idx"),
+          round(col("x"), 9).as("lon9"), round(col("y"), 9).as("lat9"))
+    }),
+
     // ---- rows-only coverage (no ANSI-SQL oracle) ---------------------
     "q_chipper" -> ((s, dir) =>
       // chip sizes follow the cumulate-and-round formula exactly, so the
@@ -522,6 +536,8 @@ object EntryPipelines {
            |       round((2.0 * atan(exp(((y - 512) * 20000) / 6378137.0)) - pi() / 2.0)
            |             * (180.0 / pi()), 9) AS lat9
            |FROM pts""".stripMargin,
+
+      "q_grid_shift" -> gridShiftSql,
 
       "q_token_count" ->
         """SELECT doc_id,
@@ -1038,6 +1054,55 @@ object EntryPipelines {
     * rerank of the candidates. Lambdas never capture correlated outer
     * columns (DuckDB can't bind them) — differences go through
     * list_zip(a, b) with the outer refs as zip ARGUMENTS. */
+  /** DuckDB twin of q_grid_shift: mirrors Ntv2.forward/bilinear over the
+    * single demo subgrid (S_LAT=140400", E_LONG=414000", inc=1800",
+    * 21x23 nodes -> row clamp 19, col clamp 21) and the
+    * demoLatShift/demoLonShift node generators (float32-quantized, like
+    * the .gsb file stores them) TERM FOR TERM — double +,-,*,/ and the
+    * float32 cast are deterministic IEEE in both engines, so both sides
+    * are bit-identical before the round(9). Keep in sync with
+    * Ntv2.bilinear/forward and Ntv2.demoLatShift/demoLonShift. */
+  private def gridShiftSql: String = {
+    val P = Oracle.pointsCte
+    s"""WITH $P, geo AS (
+       |  SELECT doc_id, span_idx,
+       |         (-125.0 + x * (9.0/1024)) AS lon,
+       |         (40.0 + y * (8.0/1024)) AS lat
+       |  FROM pts
+       |), rc AS (
+       |  SELECT doc_id, span_idx, lon, lat,
+       |         (lat * 3600.0 - 140400.0) / 1800.0 AS rw,
+       |         ((-lon) * 3600.0 - 414000.0) / 1800.0 AS cf
+       |  FROM geo
+       |), cl AS (
+       |  SELECT *, GREATEST(0.0, LEAST(floor(rw), 19.0)) AS r0,
+       |            GREATEST(0.0, LEAST(floor(cf), 21.0)) AS c0
+       |  FROM rc
+       |), wt AS (
+       |  SELECT *, rw - r0 AS fy, cf - c0 AS fx FROM cl
+       |), nd AS (
+       |  SELECT *,
+       |    CAST(0.8 + 0.01*r0 + 0.002*c0 + 0.0001*(r0*c0) AS REAL) AS a00,
+       |    CAST(0.8 + 0.01*r0 + 0.002*(c0+1) + 0.0001*(r0*(c0+1)) AS REAL) AS a10,
+       |    CAST(0.8 + 0.01*(r0+1) + 0.002*c0 + 0.0001*((r0+1)*c0) AS REAL) AS a01,
+       |    CAST(0.8 + 0.01*(r0+1) + 0.002*(c0+1) + 0.0001*((r0+1)*(c0+1)) AS REAL) AS a11,
+       |    CAST(1.5 - 0.004*r0 + 0.03*c0 + 0.0002*(r0*c0) AS REAL) AS b00,
+       |    CAST(1.5 - 0.004*r0 + 0.03*(c0+1) + 0.0002*(r0*(c0+1)) AS REAL) AS b10,
+       |    CAST(1.5 - 0.004*(r0+1) + 0.03*c0 + 0.0002*((r0+1)*c0) AS REAL) AS b01,
+       |    CAST(1.5 - 0.004*(r0+1) + 0.03*(c0+1) + 0.0002*((r0+1)*(c0+1)) AS REAL) AS b11
+       |  FROM wt
+       |), sh AS (
+       |  SELECT doc_id, span_idx, lon, lat,
+       |    ((1-fx)*(1-fy))*a00 + (fx*(1-fy))*a10 + ((1-fx)*fy)*a01 + (fx*fy)*a11 AS dlat,
+       |    ((1-fx)*(1-fy))*b00 + (fx*(1-fy))*b10 + ((1-fx)*fy)*b01 + (fx*fy)*b11 AS dlonw
+       |  FROM nd
+       |)
+       |SELECT doc_id, span_idx,
+       |       round(lon - dlonw/3600.0, 9) AS lon9,
+       |       round(lat + dlat/3600.0, 9) AS lat9
+       |FROM sh""".stripMargin
+  }
+
   private def annIvfPqSql: String = {
     val (nLists, nProbe, k, m, dsub, ck, nCand) = (16, 4, 20, 8, 8, 16, 60)
     s"""WITH q AS (SELECT $queryVecSql AS qv),

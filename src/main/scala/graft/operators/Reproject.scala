@@ -25,6 +25,16 @@ object Proj {
   }
   val GRS80: Ellipsoid = Ellipsoid(6378137.0, 298.257222101)
   val WGS84: Ellipsoid = Ellipsoid(6378137.0, 298.257223563)
+  /** NAD27's ellipsoid — UTM on NAD27 (EPSG 267xx) projects on Clarke
+    * 1866, not GRS80 (public EPSG registry values). */
+  val Clarke1866: Ellipsoid = Ellipsoid(6378206.4, 294.978698213898)
+
+  def ellByName(name: String): Ellipsoid = name match {
+    case "GRS80" => GRS80
+    case "WGS84" => WGS84
+    case "CLARKE1866" => Clarke1866
+    case other => throw new IllegalArgumentException(s"unknown ellipsoid '$other'")
+  }
 
   /** Precomputed Krüger/Karney series coefficients for one ellipsoid. */
   final class TM(e: Ellipsoid) extends Serializable {
@@ -57,7 +67,9 @@ object Proj {
   }
   private val tmGRS80 = new TM(GRS80)
   private val tmWGS84 = new TM(WGS84)
-  private def tmFor(e: Ellipsoid): TM = if (e == GRS80) tmGRS80 else tmWGS84
+  private val tmClarke = new TM(Clarke1866)
+  private def tmFor(e: Ellipsoid): TM =
+    if (e == GRS80) tmGRS80 else if (e == Clarke1866) tmClarke else tmWGS84
 
   val K0 = 0.9996
   val FalseEasting = 500000.0
@@ -182,6 +194,17 @@ object Proj {
     geoToUtm(lon, lat, zone, northern)._1
   def geoToUtmY(lon: Double, lat: Double, zone: Int, northern: Boolean): Double =
     geoToUtm(lon, lat, zone, northern)._2
+  // ellipsoid-explicit twins (NAD27 UTM projects on Clarke 1866); the
+  // Ellipsoid rides codegen as a reference object so name resolution is
+  // plan-time, not per-row
+  def utmToGeoXE(e: Double, n: Double, zone: Int, northern: Boolean, ell: Ellipsoid): Double =
+    utmToGeo(e, n, zone, northern, ell)._1
+  def utmToGeoYE(e: Double, n: Double, zone: Int, northern: Boolean, ell: Ellipsoid): Double =
+    utmToGeo(e, n, zone, northern, ell)._2
+  def geoToUtmXE(lon: Double, lat: Double, zone: Int, northern: Boolean, ell: Ellipsoid): Double =
+    geoToUtm(lon, lat, zone, northern, ell)._1
+  def geoToUtmYE(lon: Double, lat: Double, zone: Int, northern: Boolean, ell: Ellipsoid): Double =
+    geoToUtm(lon, lat, zone, northern, ell)._2
   def lccFwdX(lon: Double, lat: Double, p: Lcc2SP): Double = p.forward(lon, lat)._1
   def lccFwdY(lon: Double, lat: Double, p: Lcc2SP): Double = p.forward(lon, lat)._2
 }
@@ -193,21 +216,25 @@ object Proj {
   * that two calls beat breaking codegen with a struct).
   */
 case class UtmToGeo(left: Expression, right: Expression, zone: Int,
-                    northern: Boolean, which: Int)
+                    northern: Boolean, which: Int, ell: String = "GRS80")
     extends BinaryExpression with Serializable {
   override def dataType: DataType = DoubleType
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "utm_to_geo"
+  @transient private lazy val ellObj = Proj.ellByName(ell)
   override protected def nullSafeEval(x: Any, y: Any): Any = {
-    val (lon, lat) = Proj.utmToGeo(x.asInstanceOf[Double], y.asInstanceOf[Double], zone, northern)
+    val (lon, lat) = Proj.utmToGeo(x.asInstanceOf[Double], y.asInstanceOf[Double],
+      zone, northern, ellObj)
     if (which == 0) lon else lat
   }
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val e = ctx.addReferenceObj("ell", ellObj, classOf[Proj.Ellipsoid].getName)
     nullSafeCodeGen(ctx, ev, (x, y) =>
       if (which == 0)
-        s"${ev.value} = graft.operators.Proj.utmToGeoX($x, $y, $zone, $northern);"
+        s"${ev.value} = graft.operators.Proj.utmToGeoXE($x, $y, $zone, $northern, $e);"
       else
-        s"${ev.value} = graft.operators.Proj.utmToGeoY($x, $y, $zone, $northern);")
+        s"${ev.value} = graft.operators.Proj.utmToGeoYE($x, $y, $zone, $northern, $e);")
+  }
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
 }
@@ -234,21 +261,25 @@ case class LccToGeo(left: Expression, right: Expression, params: Proj.Lcc2SP, wh
 
 /** Geographic -> UTM forward (Karney series, the inverse's twin). */
 case class GeoToUtm(left: Expression, right: Expression, zone: Int,
-                    northern: Boolean, which: Int)
+                    northern: Boolean, which: Int, ell: String = "GRS80")
     extends BinaryExpression with Serializable {
   override def dataType: DataType = DoubleType
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "geo_to_utm"
+  @transient private lazy val ellObj = Proj.ellByName(ell)
   override protected def nullSafeEval(x: Any, y: Any): Any = {
-    val (e, n) = Proj.geoToUtm(x.asInstanceOf[Double], y.asInstanceOf[Double], zone, northern)
+    val (e, n) = Proj.geoToUtm(x.asInstanceOf[Double], y.asInstanceOf[Double],
+      zone, northern, ellObj)
     if (which == 0) e else n
   }
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val e = ctx.addReferenceObj("ell", ellObj, classOf[Proj.Ellipsoid].getName)
     nullSafeCodeGen(ctx, ev, (x, y) =>
       if (which == 0)
-        s"${ev.value} = graft.operators.Proj.geoToUtmX($x, $y, $zone, $northern);"
+        s"${ev.value} = graft.operators.Proj.geoToUtmXE($x, $y, $zone, $northern, $e);"
       else
-        s"${ev.value} = graft.operators.Proj.geoToUtmY($x, $y, $zone, $northern);")
+        s"${ev.value} = graft.operators.Proj.geoToUtmYE($x, $y, $zone, $northern, $e);")
+  }
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
 }
@@ -273,23 +304,76 @@ case class GeoToLcc(left: Expression, right: Expression, params: Proj.Lcc2SP, wh
     copy(left = l, right = r)
 }
 
+/** NTv2 datum grid shift over geographic degrees (forward = source
+  * datum -> target, e.g. NAD27 -> NAD83; inverse iterates). The parsed
+  * grid rides the plan as a reference object — broadcast once per
+  * executor, O(1) bilinear lookup per row, stays in codegen. The
+  * reference reaches the same grids through GDAL/OSR
+  * (filters/reprojection/ReprojectionFilter.cpp:131-180). */
+case class GridShift(left: Expression, right: Expression,
+                     grid: graft.sources.Ntv2.Grid, inverse: Boolean,
+                     outsidePass: Boolean, which: Int)
+    extends BinaryExpression with Serializable {
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = if (inverse) "grid_shift_inv" else "grid_shift"
+  override protected def nullSafeEval(x: Any, y: Any): Any = {
+    val lon = x.asInstanceOf[Double]; val lat = y.asInstanceOf[Double]
+    val out =
+      if (inverse) graft.sources.Ntv2.inverse(grid, lon, lat, outsidePass)
+      else graft.sources.Ntv2.forward(grid, lon, lat, outsidePass)
+    if (which == 0) out._1 else out._2
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val g = ctx.addReferenceObj("ntv2", grid, classOf[graft.sources.Ntv2.Grid].getName)
+    val fn = (inverse, which) match {
+      case (false, 0) => "fwdLon"; case (false, _) => "fwdLat"
+      case (true, 0) => "invLon"; case (true, _) => "invLat"
+    }
+    nullSafeCodeGen(ctx, ev, (x, y) =>
+      s"${ev.value} = graft.sources.Ntv2.$fn($x, $y, $g, $outsidePass);")
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 object Reproject {
   import ExpressionUtils.{column => toCol, expression => toExpr}
 
   /** UTM -> geographic (degrees). z passes through unchanged, like the
     * reference's 2-D-in-3-D transform when z is height. */
-  def utmToGeo(zone: Int, northern: Boolean = true)(df: DataFrame): DataFrame = {
-    val lon = toCol(UtmToGeo(toExpr(col("x")), toExpr(col("y")), zone, northern, 0))
-    val lat = toCol(UtmToGeo(toExpr(col("x")), toExpr(col("y")), zone, northern, 1))
+  def utmToGeo(zone: Int, northern: Boolean = true, ell: String = "GRS80")
+              (df: DataFrame): DataFrame = {
+    val lon = toCol(UtmToGeo(toExpr(col("x")), toExpr(col("y")), zone, northern, 0, ell))
+    val lat = toCol(UtmToGeo(toExpr(col("x")), toExpr(col("y")), zone, northern, 1, ell))
     df.withColumns(Map("x" -> lon, "y" -> lat))
   }
 
   /** Geographic degrees -> UTM (forward; round-trips with [[utmToGeo]]
     * to sub-mm — spec-pinned). */
-  def geoToUtm(zone: Int, northern: Boolean = true)(df: DataFrame): DataFrame = {
-    val e = toCol(GeoToUtm(toExpr(col("x")), toExpr(col("y")), zone, northern, 0))
-    val n = toCol(GeoToUtm(toExpr(col("x")), toExpr(col("y")), zone, northern, 1))
+  def geoToUtm(zone: Int, northern: Boolean = true, ell: String = "GRS80")
+              (df: DataFrame): DataFrame = {
+    val e = toCol(GeoToUtm(toExpr(col("x")), toExpr(col("y")), zone, northern, 0, ell))
+    val n = toCol(GeoToUtm(toExpr(col("x")), toExpr(col("y")), zone, northern, 1, ell))
     df.withColumns(Map("x" -> e, "y" -> n))
+  }
+
+  /** NTv2 datum shift over (x=lon, y=lat) degrees — forward: source
+    * datum (e.g. NAD27) -> grid target (NAD83, coincident with the WGS84
+    * hub to <2 m). */
+  def gridShiftForward(grid: graft.sources.Ntv2.Grid, outsidePass: Boolean = false)
+                      (df: DataFrame): DataFrame = {
+    val lon = toCol(GridShift(toExpr(col("x")), toExpr(col("y")), grid, inverse = false, outsidePass, 0))
+    val lat = toCol(GridShift(toExpr(col("x")), toExpr(col("y")), grid, inverse = false, outsidePass, 1))
+    df.withColumns(Map("x" -> lon, "y" -> lat))
+  }
+
+  /** NTv2 inverse shift (hub datum -> grid source datum). */
+  def gridShiftInverse(grid: graft.sources.Ntv2.Grid, outsidePass: Boolean = false)
+                      (df: DataFrame): DataFrame = {
+    val lon = toCol(GridShift(toExpr(col("x")), toExpr(col("y")), grid, inverse = true, outsidePass, 0))
+    val lat = toCol(GridShift(toExpr(col("x")), toExpr(col("y")), grid, inverse = true, outsidePass, 1))
+    df.withColumns(Map("x" -> lon, "y" -> lat))
   }
 
   /** Lambert Conformal Conic (2SP) -> geographic degrees. */
@@ -332,37 +416,63 @@ object Reproject {
   // are codegen'd projections, so a composed transform is still a single
   // whole-stage-codegen projection over the scan.
   //
-  // NO DATUM SHIFTS: the hub is a single geographic frame on the WGS84
+  // DATUM SHIFTS: the hub is a single geographic frame on the WGS84
   // ellipsoid. NAD83 is treated as coincident with WGS84 (<2 m apart,
-  // fine for the no-GDAL contract); NAD27 is NOT registered at all —
-  // correct NAD27 transforms require NADCON grid shifts (reference gets
-  // them from GDAL/OSR), and a grid-less approximation can be off by
-  // tens of meters, so asking for one fails loudly here instead of
-  // silently returning wrong coordinates.
+  // fine for the no-GDAL contract). NAD27 ("nad27:geo", "nad27:utm:<z>")
+  // is supported ONLY when an NTv2 grid-shift file is supplied — the
+  // reference gets the same grids through GDAL/OSR
+  // (ReprojectionFilter.cpp:131-180) — and the UTM leg projects on
+  // Clarke 1866 as EPSG 267xx prescribes. A grid-less NAD27 request
+  // still fails loudly: a grid-less approximation can be off by tens of
+  // meters, so we never silently return wrong coordinates.
 
   private def unknown(srs: String): Nothing =
     throw new IllegalArgumentException(
-      s"unknown SRS '$srs' (known: EPSG:4326, EPSG:3857, utm:<zone>, lcc:oregon-ft; " +
-        "datum shifts such as NAD27 are unsupported — no grid-shift tables without GDAL)")
+      s"unknown SRS '$srs' (known: EPSG:4326, EPSG:3857, utm:<zone>, lcc:oregon-ft, " +
+        "nad27:geo, nad27:utm:<zone>; " +
+        "datum shifts such as NAD27 require an NTv2 grid — pass grid=<path.gsb>)")
 
-  def toGeoStage(srs: String): DataFrame => DataFrame = srs match {
+  private def needGrid(srs: String, grid: Option[graft.sources.Ntv2.Grid]): graft.sources.Ntv2.Grid =
+    grid.getOrElse(throw new IllegalArgumentException(
+      s"SRS '$srs' needs a datum shift (known: EPSG:4326, EPSG:3857, utm:<zone>, " +
+        "lcc:oregon-ft, nad27:geo, nad27:utm:<zone>; " +
+        "datum shifts require an NTv2 grid — pass grid=<path.gsb>)"))
+
+  def toGeoStage(srs: String, grid: Option[graft.sources.Ntv2.Grid] = None,
+                 outsidePass: Boolean = false): DataFrame => DataFrame = srs match {
     case "EPSG:4326" | "" => identity
+    case "nad27:geo" => gridShiftForward(needGrid(srs, grid), outsidePass)
+    case s if s.startsWith("nad27:utm:") =>
+      val z = s.stripPrefix("nad27:utm:").toInt
+      val g = needGrid(srs, grid)
+      df => gridShiftForward(g, outsidePass)(utmToGeo(z, northern = true, ell = "CLARKE1866")(df))
     case s if s.startsWith("utm:") => utmToGeo(s.stripPrefix("utm:").toInt)
     case "lcc:oregon-ft" => lccToGeo(Proj.OregonLambertFeet)
     case "EPSG:3857" => webMercatorToGeo
     case other => unknown(other)
   }
 
-  def fromGeoStage(srs: String): DataFrame => DataFrame = srs match {
+  def fromGeoStage(srs: String, grid: Option[graft.sources.Ntv2.Grid] = None,
+                   outsidePass: Boolean = false): DataFrame => DataFrame = srs match {
     case "EPSG:4326" | "" => identity
+    case "nad27:geo" => gridShiftInverse(needGrid(srs, grid), outsidePass)
+    case s if s.startsWith("nad27:utm:") =>
+      val z = s.stripPrefix("nad27:utm:").toInt
+      val g = needGrid(srs, grid)
+      df => geoToUtm(z, northern = true, ell = "CLARKE1866")(gridShiftInverse(g, outsidePass)(df))
     case s if s.startsWith("utm:") => geoToUtm(s.stripPrefix("utm:").toInt)
     case "lcc:oregon-ft" => geoToLcc(Proj.OregonLambertFeet)
     case "EPSG:3857" => geoToWebMercator
     case other => unknown(other)
   }
 
-  /** Any registered SRS pair, composed through geographic coordinates. */
-  def transform(fromSrs: String, toSrs: String): DataFrame => DataFrame =
+  /** Any registered SRS pair, composed through geographic coordinates.
+    * A `nad27:*` endpoint needs its NTv2 `grid`; the grid applies to
+    * whichever side (or both) names a shifted datum. */
+  def transform(fromSrs: String, toSrs: String,
+                grid: Option[graft.sources.Ntv2.Grid] = None,
+                outsidePass: Boolean = false): DataFrame => DataFrame =
     if (fromSrs == toSrs) identity
-    else toGeoStage(fromSrs).andThen(fromGeoStage(toSrs))
+    else toGeoStage(fromSrs, grid, outsidePass)
+      .andThen(fromGeoStage(toSrs, grid, outsidePass))
 }

@@ -314,7 +314,20 @@ object Pipeline {
           case Some(s) => s
           case None => ctx.inferredSrs.getOrElse("")
         }
-        Reproject.transform(inSrs, st.str("out_srs").getOrElse("EPSG:4326"))(in.get)
+        // optional NTv2 datum grid (.gsb) for nad27:* endpoints — read
+        // through the Hadoop FS so object-store paths work; parsed once
+        // on the driver, broadcast to executors inside the expression
+        val grid = st.str("grid").map { gp =>
+          val hp = new org.apache.hadoop.fs.Path(gp)
+          val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          val in2 = fs.open(hp)
+          val bytes = try org.apache.hadoop.io.IOUtils.readFullyToByteArray(in2)
+          finally in2.close()
+          graft.sources.Ntv2.parse(bytes)
+        }
+        val outsidePass = st.str("outside").contains("pass")
+        Reproject.transform(inSrs, st.str("out_srs").getOrElse("EPSG:4326"),
+          grid, outsidePass)(in.get)
       case "filters.ground" =>
         GroundOps.pmf(GroundOps.PmfParams(
           cellSize = st.dbl("cell_size").getOrElse(1.0),
