@@ -167,6 +167,19 @@ object EntryPipelines {
     "q_dedup_cc" -> ((s, dir) =>
       TextOps.minhashDedupCC(numPerms = 16, shingleN = 3, bands = 4)(docs(s, dir))),
 
+    // substring-level exact dedup (duplicated 6-word spans corpus-wide)
+    "q_substring_dup" -> ((s, dir) =>
+      TextOps.substringDup(n = 6)(docs(s, dir))),
+
+    // corpus-delta dedup: batch = doc_id % 3 == 0 vs corpus = the rest;
+    // Bloom prefilter + exact confirm — output equals a plain anti-join
+    "q_bloom_delta" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val corpus = d.filter(col("doc_id").cast("bigint") % 3 =!= 0)
+      val batch = d.filter(col("doc_id").cast("bigint") % 3 === 0)
+      TextOps.bloomDeltaDedup(corpus, batch).select("doc_id", "fp")
+    }),
+
     "q_simhash" -> ((s, dir) =>
       docs(s, dir).select(col("doc_id"),
         SimHash64.col(TextOps.wordsCol).as("simhash"))),
@@ -591,6 +604,33 @@ object EntryPipelines {
       "q_minhash_dedup" -> minhashDedupSql,
 
       "q_dedup_cc" -> dedupCcSql,
+
+      // mirrors TextOps.substringDup(n=6): md5 over the same 6-word
+      // shingle strings, dup = corpus-wide count > 1, zeros kept
+      "q_substring_dup" ->
+        s"""WITH w AS (SELECT doc_id, $wordsSql AS ws FROM documents),
+           |g AS (SELECT doc_id,
+           |        UNNEST(list_transform(range(1, len(ws) - 6 + 2),
+           |          i -> md5(array_to_string(list_slice(ws, i, i + 5), ' ')))) AS g
+           |      FROM w),
+           |dup AS (SELECT g FROM g GROUP BY g HAVING count(*) > 1),
+           |per AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dup_positions,
+           |               CAST(count(DISTINCT g) AS BIGINT) AS n_dup_ngrams
+           |        FROM g JOIN dup USING (g) GROUP BY 1)
+           |SELECT d.doc_id,
+           |       coalesce(per.n_dup_positions, 0) AS n_dup_positions,
+           |       coalesce(per.n_dup_ngrams, 0) AS n_dup_ngrams
+           |FROM documents d LEFT JOIN per USING (doc_id)""".stripMargin,
+
+      // mirrors TextOps.bloomDeltaDedup: the Bloom filter is a pure
+      // prefilter, so the oracle is the plain exact anti-join
+      "q_bloom_delta" ->
+        """WITH f AS (SELECT doc_id,
+          |             md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp
+          |           FROM documents),
+          |c AS (SELECT fp FROM f WHERE CAST(doc_id AS BIGINT) % 3 != 0),
+          |b AS (SELECT doc_id, fp FROM f WHERE CAST(doc_id AS BIGINT) % 3 = 0)
+          |SELECT doc_id, fp FROM b WHERE fp NOT IN (SELECT fp FROM c)""".stripMargin,
 
       "q_near_dup" -> nearDupSql,
 
