@@ -50,6 +50,20 @@ object Bench {
       // C2 compiles it — a session constant, not per-query work
       w.groupBy("k").agg(percentile_approx(col("id").cast("double"),
         lit(0.5), lit(250))).count()
+      // Bloom-delta machinery (bloomDeltaDedup): BloomFilter class load,
+      // treeAggregate path, and the regexp_replace+md5 fingerprint +
+      // anti-join codegen — measured ~3 s of first-use cost on an
+      // otherwise ~1 s query. Warmed on a range-derived frame (NOT the
+      // doc table, which `synth` must still measure)
+      locally {
+        val s = spark.range(10000)
+          .select(col("id").cast("string").as("doc_id"),
+            concat(lit("warm up text "), col("id").cast("string")).as("text"))
+        graft.operators.TextOps.bloomDeltaDedup(
+          s.filter(col("doc_id").cast("bigint") % 2 === 0),
+          s.filter(col("doc_id").cast("bigint") % 2 === 1),
+          expectedItems = 10000L).count()
+      }
       spark.read.parquet(s"$sfDir/region.parquet").count()
     }
     val t0 = System.nanoTime()
