@@ -305,8 +305,32 @@ object EntryPipelines {
         MediaOps.synthBlob(concat(lit("blob://"), col("doc_id").cast(StringType)), 8))
       MediaOps.featureStub("blob", dims = 8)(withBlob)
         .select(col("doc_id"), col("feat_idx"), round(col("feat"), 6).as("feat6"))
+    }),
+
+    // ---- coherent point drift (registration kernel) -------------------
+    // The distributed E-step IS the scale-bearing piece of CPD (one pass
+    // over the arbitrarily-large fixed cloud per EM iteration; the
+    // M-step is a driver-side 3x3 SVD), and it is plain GMM-posterior
+    // algebra — exactly SQL-expressible. The EM loop itself is pinned by
+    // CpdSpec (exact recovery of known transforms).
+    "q_cpd_estep" -> ((s, dir) => {
+      val fixed = pts(s, dir)
+      val n = fixed.count()
+      val st = CpdOps.estepStats(fixed, cpdMoving, cpdSigma2, 0.1, n)
+      def r4(v: Double): Double =
+        BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      import s.implicits._
+      (0 until st.m).map { j =>
+        (j, r4(st.p1(j)), r4(st.px(3 * j)), r4(st.px(3 * j + 1)), r4(st.px(3 * j + 2)))
+      }.toDF("j", "p1", "px0", "px1", "px2")
     })
   )
+
+  /** Deterministic 20-point moving cloud for the CPD E-step oracle —
+    * literal in both the Spark query and the SQL twin. */
+  private val cpdMoving: Array[Double] =
+    (0 until 20).flatMap(j => Seq(100.0 + 40.0 * j, 200.0 + 30.0 * (j % 5), 50.0 + 10.0 * j)).toArray
+  private val cpdSigma2: Double = 40000.0
 
   // ---------------------------------------------------------------------
   // Oracle SQL twins
@@ -828,7 +852,36 @@ object EntryPipelines {
           |       round(CAST((strpos('0123456789ABCDEF', substring(hx, CAST(feat_idx * 2 + 1 AS INT), 1)) - 1) * 16
           |             + (strpos('0123456789ABCDEF', substring(hx, CAST(feat_idx * 2 + 2 AS INT), 1)) - 1)
           |             AS DOUBLE) / CAST(255.0 AS DOUBLE), 6) AS feat6
-          |FROM f""".stripMargin
+          |FROM f""".stripMargin,
+
+      // CPD E-step sufficient statistics: per-moving-point posterior
+      // column sums p1 and first moments px against the full fixed
+      // cloud, with the paper's uniform-outlier denominator term
+      // (Myronenko & Song 2010 eq. 6 / Fig. 2 E-step). Rounded to 4
+      // decimals on both sides: the values are O(10^2..10^5) sums of
+      // 60k exp() terms, so reassociation noise (~1e-8 absolute) sits
+      // four orders below the rounding grid.
+      "q_cpd_estep" ->
+        s"""WITH $P,
+           |mov AS (SELECT CAST(j AS INT) AS j,
+           |               100.0 + 40.0 * j AS m0,
+           |               200.0 + 30.0 * (j % 5) AS m1,
+           |               50.0 + 10.0 * j AS m2
+           |        FROM range(0, 20) t(j)),
+           |wts AS (SELECT p.doc_id, p.span_idx, p.x, p.y, p.z, m.j,
+           |               exp(-((p.x - m.m0) * (p.x - m.m0) + (p.y - m.m1) * (p.y - m.m1)
+           |                     + (p.z - m.m2) * (p.z - m.m2)) / 80000.0) AS e
+           |        FROM pts p CROSS JOIN mov m),
+           |post AS (SELECT j, x, y, z,
+           |                e / (pow(2 * pi() * 40000.0, 1.5) * (0.1 / 0.9) * 20.0
+           |                       / (SELECT count(*) FROM pts)
+           |                     + sum(e) OVER (PARTITION BY doc_id, span_idx)) AS pp
+           |         FROM wts)
+           |SELECT j, round(sum(pp), 4) AS p1,
+           |       round(sum(pp * x), 4) AS px0,
+           |       round(sum(pp * y), 4) AS px1,
+           |       round(sum(pp * z), 4) AS px2
+           |FROM post GROUP BY j""".stripMargin
     )
   }
 
