@@ -42,6 +42,11 @@ object Ntv2 {
     val nCols: Int = math.round((wLonW - eLonW) / lonInc).toInt + 1
     require(latShift.length == nRows * nCols,
       s"ntv2: subgrid $name GS_COUNT ${latShift.length} != $nRows rows x $nCols cols")
+    // bilinear() reads a 2x2 node window; a 1-row/1-col subgrid would
+    // clamp its base index to 0 and read past the node array — reject
+    // the degenerate extent loudly at parse time instead
+    require(nRows >= 2 && nCols >= 2,
+      s"ntv2: subgrid $name degenerate extent ($nRows rows x $nCols cols; need >= 2x2 for bilinear)")
     def contains(latSec: Double, lonWSec: Double): Boolean =
       latSec >= sLat && latSec <= nLat && lonWSec >= eLonW && lonWSec <= wLonW
   }
@@ -111,7 +116,10 @@ object Ntv2 {
       require(count > 0 && latInc > 0 && lonInc > 0,
         s"ntv2: subgrid $subName bad GS_COUNT/INC ($count, $latInc, $lonInc)")
       pos += 11 * 16
-      require(bytes.length >= pos + count * 16, s"ntv2: truncated node data in $subName")
+      // long arithmetic: a corrupt GS_COUNT near 2^27 overflows
+      // count * 16 as Int and would slip past this guard into a crash
+      require(bytes.length.toLong >= pos.toLong + count.toLong * 16,
+        s"ntv2: truncated node data in $subName (GS_COUNT $count)")
       val latShift = new Array[Float](count); val lonShift = new Array[Float](count)
       val latAcc = new Array[Float](count); val lonAcc = new Array[Float](count)
       var k = 0

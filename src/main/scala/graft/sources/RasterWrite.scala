@@ -53,11 +53,16 @@ object RasterWrite {
     val pxMax = cells.iterator.map(_._1).max
     val pyMin = cells.iterator.map(_._2).min
     val pyMax = cells.iterator.map(_._2).max
-    val w = (pxMax - pxMin + 1).toInt
-    val h = (pyMax - pyMin + 1).toInt
-    require(w.toLong * h <= 50000000L,
-      s"p2g raster emit: $w x $h cells exceed the single-file guard — " +
+    // long arithmetic BEFORE the Int narrowing: a sparse cell table with
+    // far-apart ids would wrap (pxMax - pxMin + 1).toInt and bypass the
+    // guard (negative-size array crash instead of the loud message)
+    val wL = pxMax - pxMin + 1
+    val hL = pyMax - pyMin + 1
+    require(wL <= 50000000L && hL <= 50000000L && wL * hL <= 50000000L,
+      s"p2g raster emit: $wL x $hL cells exceed the single-file guard — " +
         "write the partitioned cell table (path option) instead")
+    val w = wL.toInt
+    val h = hL.toInt
     val vals = Array.fill(w * h)(NoData)
     cells.foreach { case (px, py, v) =>
       // row 0 = TOP row (max py), like the reference's negative y step

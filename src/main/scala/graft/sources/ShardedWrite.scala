@@ -87,6 +87,10 @@ object ShardedWrite {
       }
       it.foreach { r =>
         val shard = r.get(0)
+        // a null shard would alias the initial `cur` sentinel and its
+        // run would never close() — rows silently dropped; fail loudly
+        // (a null tile/chip id is an upstream bug, not a shard)
+        require(shard != null, s"sharded write: null value in shard column $shardCol")
         if (shard != cur) { close(); cur = shard }
         buf += Array.tabulate(colMeta.size)(i => r.get(base + i))
       }

@@ -190,4 +190,28 @@ class Ntv2Spec extends AnyFunSuite {
     assert(s.latShift(5 * 23 + 7) == Ntv2.demoLatShift(5, 7))
     assert(s.lonShift(20 * 23 + 22) == Ntv2.demoLonShift(20, 22))
   }
+
+  test("degenerate 1-row subgrid is rejected at construction (bilinear needs 2x2)") {
+    // 1 row x 3 cols: would clamp bilinear's base row to 0 and read
+    // past the node array — must fail loudly instead
+    val ex = intercept[IllegalArgumentException] {
+      Ntv2.SubGrid("BAD", "NONE", 0.0, 0.0, 0.0, 7200.0, 3600.0, 3600.0,
+        new Array[Float](3), new Array[Float](3),
+        new Array[Float](3), new Array[Float](3))
+    }
+    assert(ex.getMessage.contains("degenerate extent"))
+  }
+
+  test("corrupt GS_COUNT near Int overflow fails the truncation guard loudly") {
+    // craft a file whose subgrid header claims GS_COUNT = 2^27+1:
+    // count * 16 overflows Int; the long-arithmetic guard must catch it
+    val g = Ntv2.demoGrid()
+    val bytes = Ntv2.write(g)
+    // GS_COUNT is subgrid record 10 (0-based): offset 11*16 + 10*16 + 8
+    val at = 11 * 16 + 10 * 16 + 8
+    val bb = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.putInt(at, (1 << 27) + 1)
+    val ex = intercept[IllegalArgumentException] { Ntv2.parse(bytes) }
+    assert(ex.getMessage.contains("truncated node data"), ex.getMessage)
+  }
 }

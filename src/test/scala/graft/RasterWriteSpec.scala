@@ -49,6 +49,15 @@ class RasterWriteSpec extends AnyFunSuite {
     assert(vals.toSeq === Seq(-9999f, 4f, 1.5f, 2f))
   }
 
+  test("far-apart cell ids hit the loud cell-count guard, not an Int-wrap crash") {
+    // width ~ 2^33 would wrap (pxMax-pxMin+1).toInt negative before the
+    // long-arithmetic fix; must surface the guard message instead
+    val ex = intercept[IllegalArgumentException] {
+      RasterWrite.toGrid(Seq((0L, 0L, 1.0), (8589934592L, 0L, 2.0)))
+    }
+    assert(ex.getMessage.contains("single-file guard"), ex.getMessage)
+  }
+
   test("unrecognized output format fails with the reference's wording") {
     val df = spark.range(1).select(lit(0L).as("px"), lit(0L).as("py"),
       lit(1L).as("den"), lit(1.0).as("zmin"), lit(1.0).as("zmax"),

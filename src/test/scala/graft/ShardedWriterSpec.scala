@@ -91,4 +91,15 @@ class ShardedWriterSpec extends AnyFunSuite {
     assert(Ply.asDistributedDataFrame(spark, s"$pdir/*.ply").count() === n)
     assert(Pcd.asDistributedDataFrame(spark, s"$cdir/*.pcd").count() === n)
   }
+
+  test("null shard values fail loudly instead of silently dropping rows") {
+    val withNull = src.withColumn("shard",
+      when(col("span_idx") < 3, lit(null)).otherwise(col("shard")))
+    val ex = intercept[Exception] {
+      Ply.writeSharded(tmpDir, withNull, "shard", "ascii")
+    }
+    val messages = Iterator.iterate(ex: Throwable)(_.getCause)
+      .takeWhile(_ != null).map(t => Option(t.getMessage).getOrElse("")).toSeq
+    assert(messages.exists(_.contains("null value in shard column")), messages.mkString(" | "))
+  }
 }
