@@ -133,6 +133,15 @@ object EntryPipelines {
         slope = 1.0, initialDistance = 2.0, maxDistance = 20.0))(pts(s, dir))
         .groupBy(col("classification")).agg(count(lit(1)).as("n"))),
 
+    // EXACT per-point PMF — the reference's DEFAULT filters.ground branch
+    // (GroundFilter.cpp:72 approximate=false): per-point classification
+    // emitted row-for-row, not just counts
+    "q_pmf_exact" -> ((s, dir) =>
+      GroundOps.pmfExact(GroundOps.PmfParams(cellSize = 16, maxWindowSize = 9,
+        slope = 1.0, initialDistance = 2.0, maxDistance = 20.0))(pts(s, dir))
+        .select(col("doc_id"), col("span_idx"),
+          col("classification").cast("int").as("cls"))),
+
     "q_ann_lsh" -> ((s, dir) =>
       AnnOps.lshTopK(queryVec, k = 20, planes = 6)(embs(s, dir))
         .select(col("vec_id"), col("label"), round(col("sim"), 6).as("sim6"))),
@@ -723,6 +732,10 @@ object EntryPipelines {
            |SELECT classification, CAST(count(*) AS BIGINT) AS n
            |FROM classified GROUP BY classification""".stripMargin,
 
+      "q_pmf_exact" ->
+        s"""WITH $P, $pmfExactSql
+           |SELECT doc_id, span_idx, cls FROM exact_classified""".stripMargin,
+
       "q_ann_lsh" -> annLshSql,
 
       "q_ann_cosine" ->
@@ -957,6 +970,59 @@ object EntryPipelines {
       |  FROM pts p JOIN s${iters.size} s
       |    ON CAST(floor(p.x / 16) AS BIGINT) = s.cx
       |   AND CAST(floor(p.y / 16) AS BIGINT) = s.cy)""".stripMargin)
+    sb.toString
+  }
+
+  /** EXACT per-point PMF oracle: mirrors GroundOps.pmfExact term for
+    * term — iterative ground-set pruning (Zhang et al. 2003 / the
+    * reference's default GroundFilter branch). Window ladder {3,5,9}
+    * (cellSize=16, maxWindowSize=9 -> dh {2,20,20}), Chebyshev
+    * half-extent r = w/2 measured from each point. The bucketed window
+    * join is reproduced EXACTLY (source exploded to its 3x3 neighbor
+    * buckets at bucket size r, hash-join on the target's bucket,
+    * window filter) so both sides share the same floor() bucketing and
+    * the same float arithmetic; all z are exact 0.5-multiples so the
+    * keep test z - ov < dh is bit-exact. */
+  private def pmfExactSql: String = {
+    val iters = Seq((1.5, "2.0"), (2.5, "20.0"), (4.5, "20.0"))
+    val sb = new StringBuilder
+    sb.append("g0 AS (SELECT doc_id, span_idx, x, y, z FROM pts)")
+    iters.zipWithIndex.foreach { case ((r, dh), i) =>
+      val prev = s"g$i"; val n = i + 1
+      def exploded(src: String, valCol: String) =
+        s"""(
+           |    SELECT CAST(floor(s.x / $r) AS BIGINT) + dx.o AS cbx,
+           |           CAST(floor(s.y / $r) AS BIGINT) + dy.o AS cby,
+           |           s.x AS sx, s.y AS sy, $valCol AS sv
+           |    FROM $src
+           |    CROSS JOIN (SELECT unnest(generate_series(-1, 1)) AS o) dx
+           |    CROSS JOIN (SELECT unnest(generate_series(-1, 1)) AS o) dy) b
+           |    ON CAST(floor(a.x / $r) AS BIGINT) = b.cbx
+           |   AND CAST(floor(a.y / $r) AS BIGINT) = b.cby
+           |  WHERE abs(b.sx - a.x) <= $r AND abs(b.sy - a.y) <= $r""".stripMargin
+      sb.append(s""",
+        |e$n AS (
+        |  SELECT a.doc_id, a.span_idx, min(b.sv) AS ev
+        |  FROM $prev a JOIN ${exploded(s"$prev s", "s.z")}
+        |  GROUP BY 1, 2),
+        |o$n AS (
+        |  SELECT a.doc_id, a.span_idx, max(b.sv) AS ov
+        |  FROM $prev a JOIN ${exploded(
+             s"e$n e JOIN $prev s ON e.doc_id = s.doc_id AND e.span_idx = s.span_idx",
+             "e.ev")}
+        |  GROUP BY 1, 2),
+        |g$n AS (
+        |  SELECT g.doc_id, g.span_idx, g.x, g.y, g.z
+        |  FROM $prev g JOIN o$n o
+        |    ON g.doc_id = o.doc_id AND g.span_idx = o.span_idx
+        |  WHERE g.z - o.ov < $dh)""".stripMargin)
+    }
+    sb.append(s""",
+      |exact_classified AS (
+      |  SELECT p.doc_id, p.span_idx,
+      |         CASE WHEN g.doc_id IS NOT NULL THEN 2 ELSE 0 END AS cls
+      |  FROM pts p LEFT JOIN g${iters.size} g
+      |    ON p.doc_id = g.doc_id AND p.span_idx = g.span_idx)""".stripMargin)
     sb.toString
   }
 

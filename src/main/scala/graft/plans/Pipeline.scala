@@ -329,13 +329,18 @@ object Pipeline {
         Reproject.transform(inSrs, st.str("out_srs").getOrElse("EPSG:4326"),
           grid, outsidePass)(in.get)
       case "filters.ground" =>
-        GroundOps.pmf(GroundOps.PmfParams(
+        val gp = GroundOps.PmfParams(
           cellSize = st.dbl("cell_size").getOrElse(1.0),
           maxWindowSize = st.dbl("max_window_size").getOrElse(33.0),
           slope = st.dbl("slope").getOrElse(1.0),
           initialDistance = st.dbl("initial_distance").getOrElse(0.15),
-          maxDistance = st.dbl("max_distance").getOrElse(2.5)),
-          extract = st.bool("extract").getOrElse(false))(in.get)
+          maxDistance = st.dbl("max_distance").getOrElse(2.5))
+        val gext = st.bool("extract").getOrElse(false)
+        // reference default approximate=false -> the EXACT per-point
+        // PMF; approximate=true -> the grid PMF (GroundFilter.cpp:72,119)
+        if (st.bool("approximate").getOrElse(false))
+          GroundOps.pmf(gp, gext)(in.get)
+        else GroundOps.pmfExact(gp, gext)(in.get)
       case "filters.outlier" =>
         // level omitted -> density-based auto start (JoinOps.knnAutoLevel)
         JoinOps.statisticalOutlierRemoval(st.int("mean_k").getOrElse(8),
