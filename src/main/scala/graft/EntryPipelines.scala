@@ -135,9 +135,12 @@ object EntryPipelines {
 
     // EXACT per-point PMF — the reference's DEFAULT filters.ground branch
     // (GroundFilter.cpp:72 approximate=false): per-point classification
-    // emitted row-for-row, not just counts
+    // emitted row-for-row, not just counts. PCL ladder with cellSize=4,
+    // maxWindowSize=40 -> windows {12,20,36,68} (the last overshoots max,
+    // per the published schedule), half-extents {6,10,18,34}, thresholds
+    // {2,20,20,20}.
     "q_pmf_exact" -> ((s, dir) =>
-      GroundOps.pmfExact(GroundOps.PmfParams(cellSize = 16, maxWindowSize = 9,
+      GroundOps.pmfExact(GroundOps.PmfParams(cellSize = 4, maxWindowSize = 40,
         slope = 1.0, initialDistance = 2.0, maxDistance = 20.0))(pts(s, dir))
         .select(col("doc_id"), col("span_idx"),
           col("classification").cast("int").as("cls"))),
@@ -975,16 +978,17 @@ object EntryPipelines {
 
   /** EXACT per-point PMF oracle: mirrors GroundOps.pmfExact term for
     * term — iterative ground-set pruning (Zhang et al. 2003 / the
-    * reference's default GroundFilter branch). Window ladder {3,5,9}
-    * (cellSize=16, maxWindowSize=9 -> dh {2,20,20}), Chebyshev
-    * half-extent r = w/2 measured from each point. The bucketed window
+    * reference's default GroundFilter branch). PCL window schedule with
+    * cellSize=4, maxWindowSize=40 -> windows {12,20,36,68}, dh
+    * {2,20,20,20}, Chebyshev half-extent r = w/2 measured from each
+    * point. The bucketed window
     * join is reproduced EXACTLY (source exploded to its 3x3 neighbor
     * buckets at bucket size r, hash-join on the target's bucket,
     * window filter) so both sides share the same floor() bucketing and
     * the same float arithmetic; all z are exact 0.5-multiples so the
     * keep test z - ov < dh is bit-exact. */
   private def pmfExactSql: String = {
-    val iters = Seq((1.5, "2.0"), (2.5, "20.0"), (4.5, "20.0"))
+    val iters = Seq((6.0, "2.0"), (10.0, "20.0"), (18.0, "20.0"), (34.0, "20.0"))
     val sb = new StringBuilder
     sb.append("g0 AS (SELECT doc_id, span_idx, x, y, z FROM pts)")
     iters.zipWithIndex.foreach { case ((r, dh), i) =>

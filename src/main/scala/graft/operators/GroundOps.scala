@@ -32,9 +32,9 @@ object GroundOps {
     base: Double = 2.0,
     exponential: Boolean = true)
 
-  /** Window half-size ladder, PCL ProgressiveMorphologicalFilter
-    * semantics: window_size_k = 2*base^k+1 (exponential) or 2*k*base+1
-    * (linear), until > maxWindowSize. */
+  /** Cell-unit window half-size ladder used by the GRID (approximate)
+    * branch: window_size_k = 2*base^k+1 (exponential) or 2*k*base+1
+    * (linear) CELLS, until > maxWindowSize. */
   def windowLadder(p: PmfParams): Seq[Int] = {
     Iterator.from(0)
       .map { k =>
@@ -44,6 +44,36 @@ object GroundOps {
       .map(hw => 2 * hw + 1)
       .takeWhile(_ <= p.maxWindowSize)
       .toSeq.distinct
+  }
+
+  /** The EXACT branch's (window, threshold) ladder — the published
+    * progressive-morphological schedule (Zhang et al. 2003 eq. 4-5 /
+    * the PCL ProgressiveMorphologicalFilter setup): world-unit windows
+    * w_k = cellSize * (2*base^k + 1) (exponential) or
+    * cellSize * (2*(k+1)*base + 1) (linear); thresholds dh_0 =
+    * initialDistance, dh_k = slope * (w_k - w_{k-1}) * cellSize +
+    * initialDistance, capped at maxDistance. The schedule INCLUDES the
+    * first window >= maxWindowSize (the published loop tests the bound
+    * before computing the next window, so the final window overshoots —
+    * pinned by the autzen pclblock goldens, which are sensitive to the
+    * extra round). */
+  def pclLadder(p: PmfParams): Seq[(Double, Double)] = {
+    val out = Seq.newBuilder[(Double, Double)]
+    var iteration = 0
+    var windowSize = 0.0
+    var prevWindow = 0.0
+    while (windowSize < p.maxWindowSize) {
+      prevWindow = windowSize
+      windowSize =
+        if (p.exponential) p.cellSize * (2.0 * math.pow(p.base, iteration) + 1.0)
+        else p.cellSize * (2.0 * (iteration + 1) * p.base + 1.0)
+      val dh0 =
+        if (iteration == 0) p.initialDistance
+        else p.slope * (windowSize - prevWindow) * p.cellSize + p.initialDistance
+      out += ((windowSize, math.min(dh0, p.maxDistance)))
+      iteration += 1
+    }
+    out.result()
   }
 
   /** One separable morphological pass (min or max over a (2hw+1)^2 cell
@@ -164,15 +194,11 @@ object GroundOps {
     * maxWindow) rounds; no all-pairs, no driver state. The surviving
     * set is localCheckpoint'd per round to cut the growing lineage. */
   def pmfExact(p: PmfParams = PmfParams(), extract: Boolean = false)(df: DataFrame): DataFrame = {
-    val windows = windowLadder(p)
-    var prevW = windows.headOption.getOrElse(1)
     var ground = df.select(col("doc_id"), col("span_idx"),
         col("x"), col("y"), col("z"))
       .localCheckpoint(eager = true)
-    for (w <- windows) {
+    for ((w, dh) <- pclLadder(p)) {
       val r = w / 2.0
-      val dh = math.min(p.slope * (w - prevW) * p.cellSize + p.initialDistance,
-        p.maxDistance)
       val eroded = windowAgg(ground, ground, r, "z", isMin = true, "__ev")
         .join(ground.select(col("doc_id"), col("span_idx"), col("x"), col("y")),
           Seq("doc_id", "span_idx"))
@@ -181,7 +207,6 @@ object GroundOps {
         .filter(col("z") - col("__ov") < dh)
         .select(col("doc_id"), col("span_idx"), col("x"), col("y"), col("z"))
         .localCheckpoint(eager = false)
-      prevW = w
     }
     val marks = ground.select(col("doc_id"), col("span_idx"), lit(true).as("__ground"))
     val classified = df.join(marks, Seq("doc_id", "span_idx"), "left")

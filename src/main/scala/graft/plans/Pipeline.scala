@@ -341,6 +341,14 @@ object Pipeline {
         if (st.bool("approximate").getOrElse(false))
           GroundOps.pmf(gp, gext)(in.get)
         else GroundOps.pmfExact(gp, gext)(in.get)
+      case "filters.pclblock" =>
+        // PCL sub-pipeline (PCLBlock.cpp:58-62: filename or inline json)
+        (st.str("filename"), st.str("json")) match {
+          case (Some(fn), _) => PclBlock.runFile(in.get, fn)
+          case (None, Some(js)) => PclBlock.run(in.get, js)
+          case _ => throw new IllegalArgumentException(
+            "filters.pclblock needs 'filename' or 'json' (No PCL pipeline specified!)")
+        }
       case "filters.outlier" =>
         // level omitted -> density-based auto start (JoinOps.knnAutoLevel)
         JoinOps.statisticalOutlierRemoval(st.int("mean_k").getOrElse(8),

@@ -163,7 +163,8 @@ class OperatorBehaviorSpec extends AnyFunSuite {
   test("exact PMF: hand-computed pruning on a 1D line, towers rejected, extract mode") {
     // 5 points on a line, y=0: z = 10,10,50,10,10 at x = 0,2,4,6,8.
     // Params: cellSize=1, maxWindowSize=5, slope=1, init=2, max=12
-    // -> ladder {3,5}, half-extents {1.5, 2.5}, dh {2, min(2*1+2,12)=4}.
+    // -> PCL ladder {3,5} (w1=5 >= max is included, then the loop
+    // stops), half-extents {1.5, 2.5}, dh {2, min(1*(5-3)*1+2,12)=4}.
     // Round 1 (r=1.5): each point's window holds only itself ->
     //   opened = z, z-opened = 0 < 2, all survive.
     // Round 2 (r=2.5): windows hold the point and its line neighbors.
@@ -187,44 +188,38 @@ class OperatorBehaviorSpec extends AnyFunSuite {
   }
 
   test("exact and approximate PMF are distinct semantics (rasterization changes the verdict)") {
-    // two points in the SAME 16-unit cell, 1 unit apart in x:
-    // low z=10 at x=0.5 and high z=40 at x=1.5, plus a far-away flat
-    // neighborhood that never interacts. Grid PMF rasterizes the cell
-    // to min z=10 -> the final cell-surface test (z - v <= lastDh)
-    // classifies the HIGH point against the low cell value -> 40-10=30
-    // > dh -> non-ground. Exact PMF at window half-extents {1.5} sees
-    // both points in one window too -- same verdict here -- but at
-    // half-extent 1.5 the far point x=30 is ALONE in its window under
-    // exact semantics while grid PMF erodes it against neighbor CELLS.
-    // The pinned discriminating case: a high point at a cell BOUNDARY
-    // whose 1.5-unit window is empty of low points, but whose CELL
-    // contains one. x=15.9 (cell 0, next to x=0.5's cell) vs window
-    // [14.4, 17.4] which holds no other point.
+    // Params cellSize=16, maxWindowSize=3:
+    //  - exact branch: PCL ladder {w0 = 16*(2*1+1) = 48}, half-extent
+    //    24, dh = initialDistance = 2.
+    //  - grid branch: cell-unit ladder {3}, hw = 1 CELL (16 units),
+    //    lastDh = 2, morphology over occupied cells only.
+    // Fixture: low z=10 at x=15.9 (cell 0), high z=40 at x=32.1 (cell
+    // 2), dx = 16.2. The exact window (24) CONTAINS the pair -> the
+    // high point erodes/opens to 10, 40-10=30 >= 2 -> pruned. The grid
+    // sees cells 0 and 2 — NOT neighbors at hw=1 — so cell 2's opened
+    // value stays 40 and the high point passes the final cell test
+    // (40-40=0 <= 2) -> ground. Same input, opposite verdicts: the
+    // rasterization is the only difference.
     val df = Seq(
-      ("d", 0, 0.5, 0.5, 10.0),   // low anchor, cell (0,0)
-      ("d", 1, 15.9, 0.5, 40.0)   // high, SAME cell, 15.4 units away
+      ("d", 0, 15.9, 0.5, 10.0),  // low, cell (0,0)
+      ("d", 1, 32.1, 0.5, 40.0)   // high, cell (2,0), 16.2 units away
     ).toDF("doc_id", "span_idx", "x", "y", "z")
     val p = GroundOps.PmfParams(cellSize = 16, maxWindowSize = 3,
       slope = 1.0, initialDistance = 2.0, maxDistance = 20.0)
-    // grid PMF: one cell, v=10; one window round changes nothing
-    // (singleton raster); final test z - 10 <= 2 -> high point FAILS
     val grid = GroundOps.pmf(p)(df)
       .select("span_idx", "classification").collect()
       .map(r => r.getInt(0) -> r.getShort(1)).toMap
-    assert(grid === Map(0 -> 2, 1 -> 0), s"grid verdict: $grid")
-    // exact PMF: the high point's 1.5-unit window holds only itself ->
-    // opened = own z -> 0 < 2 -> GROUND. The rasterization is the
-    // only difference between the two verdicts.
+    assert(grid === Map(0 -> 2, 1 -> 2), s"grid verdict: $grid")
     val exact = GroundOps.pmfExact(p)(df)
       .select("span_idx", "classification").collect()
       .map(r => r.getInt(0) -> r.getShort(1)).toMap
-    assert(exact === Map(0 -> 2, 1 -> 2), s"exact verdict: $exact")
+    assert(exact === Map(0 -> 2, 1 -> 0), s"exact verdict: $exact")
   }
 
   test("pipeline filters.ground: default is the exact branch, approximate=true the grid one") {
     import graft.plans.Pipeline
     val dir = java.nio.file.Files.createTempDirectory("pmfpipe").toString
-    Seq(("d", 0, 0.5, 0.5, 10.0), ("d", 1, 15.9, 0.5, 40.0))
+    Seq(("d", 0, 15.9, 0.5, 10.0), ("d", 1, 32.1, 0.5, 40.0))
       .toDF("doc_id", "span_idx", "x", "y", "z")
       .write.mode("overwrite").parquet(s"$dir/in.parquet")
     def run(extraOpt: String): Map[Int, Int] =
@@ -234,8 +229,8 @@ class OperatorBehaviorSpec extends AnyFunSuite {
          "slope":1.0,"initial_distance":2.0,"max_distance":20.0$extraOpt}]}""")
         .df.select("span_idx", "classification").collect()
         .map(r => r.getInt(0) -> r.getShort(1).toInt).toMap
-    assert(run("") === Map(0 -> 2, 1 -> 2), "default (exact) branch")
-    assert(run(""","approximate":true""") === Map(0 -> 2, 1 -> 0), "approximate branch")
+    assert(run("") === Map(0 -> 2, 1 -> 0), "default (exact) branch")
+    assert(run(""","approximate":true""") === Map(0 -> 2, 1 -> 2), "approximate branch")
   }
 
   test("MinHash-LSH groups near-duplicates and separates distinct docs") {
