@@ -138,10 +138,14 @@ object EntryPipelines {
     // emitted row-for-row, not just counts. PCL ladder with cellSize=4,
     // maxWindowSize=40 -> windows {12,20,36,68} (the last overshoots max,
     // per the published schedule), half-extents {6,10,18,34}, thresholds
-    // {2,20,20,20}.
+    // {2,20,20,20}. Runs on the intensity%23 subset (the q_ror pattern):
+    // the full-density cloud pays ~230M window pairs in round 1 at
+    // sf0.1 for no extra signal — the reference-golden PclBlockGoldenSpec
+    // exercises the operator on a full cloud.
     "q_pmf_exact" -> ((s, dir) =>
       GroundOps.pmfExact(GroundOps.PmfParams(cellSize = 4, maxWindowSize = 40,
-        slope = 1.0, initialDistance = 2.0, maxDistance = 20.0))(pts(s, dir))
+        slope = 1.0, initialDistance = 2.0, maxDistance = 20.0))(
+        pts(s, dir).filter(col("intensity") % 23 === 0))
         .select(col("doc_id"), col("span_idx"),
           col("classification").cast("int").as("cls"))),
 
@@ -990,7 +994,8 @@ object EntryPipelines {
   private def pmfExactSql: String = {
     val iters = Seq((6.0, "2.0"), (10.0, "20.0"), (18.0, "20.0"), (34.0, "20.0"))
     val sb = new StringBuilder
-    sb.append("g0 AS (SELECT doc_id, span_idx, x, y, z FROM pts)")
+    sb.append("""pmfsub AS (SELECT doc_id, span_idx, x, y, z FROM pts WHERE intensity % 23 = 0),
+      |g0 AS (SELECT doc_id, span_idx, x, y, z FROM pmfsub)""".stripMargin)
     iters.zipWithIndex.foreach { case ((r, dh), i) =>
       val prev = s"g$i"; val n = i + 1
       def exploded(src: String, valCol: String) =
@@ -1025,7 +1030,7 @@ object EntryPipelines {
       |exact_classified AS (
       |  SELECT p.doc_id, p.span_idx,
       |         CASE WHEN g.doc_id IS NOT NULL THEN 2 ELSE 0 END AS cls
-      |  FROM pts p LEFT JOIN g${iters.size} g
+      |  FROM pmfsub p LEFT JOIN g${iters.size} g
       |    ON p.doc_id = g.doc_id AND p.span_idx = g.span_idx)""".stripMargin)
     sb.toString
   }
