@@ -130,6 +130,8 @@ object PipelineXml {
         // output_type x output_format, like the reference's
         // points2grid finish) — not a table path
         case ("writers.p2g", "filename") => fields :+= ("filename" -> JString(o.value))
+        // pclblock's filename is the PCL sub-pipeline JSON, not a data path
+        case ("filters.pclblock", "filename") => fields :+= ("filename" -> JString(o.value))
         case (_, "filename") => fields :+= ("path" -> JString(o.value))
         case ("filters.crop", "bounds") => fields :+= ("bounds" -> boundsArray(o.value))
         case ("writers.p2g", "grid_dist_x") => fields :+= ("dx" -> typed(o.value))

@@ -78,6 +78,24 @@ class PclBlockGoldenSpec extends AnyFunSuite {
     assert(Pipeline.run(spark, spec).df.count() === 81L)
   }
 
+  // PCLBlockFilterTest.cpp:49-66 — the reference's NATIVE XML pipeline
+  // wrapping filters.pclblock (passthrough.xml), run through the XML
+  // ingestion with its relative fixture paths resolved in place
+  test("passthrough.xml: the reference XML pipeline with pclblock -> 81, LAS written") {
+    val tmp = java.nio.file.Files.createTempDirectory("pclxml").toString
+    val xml = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(s"$FixDir/passthrough.xml")), "UTF-8")
+      .replace("../../../temp/foo.las", s"$tmp/foo.las")
+      .replace("./example_PassThrough_1.json", s"$FixDir/example_PassThrough_1.json")
+      .replace("../../autzen/autzen-point-format-3.las",
+        s"$RefData/autzen/autzen-point-format-3.las")
+    val xmlPath = java.nio.file.Paths.get(tmp, "passthrough.xml")
+    java.nio.file.Files.write(xmlPath, xml.getBytes("UTF-8"))
+    val out = graft.plans.PipelineXml.run(spark, xmlPath.toString)
+    assert(out.df.count() === 81L)
+    assert(LasDecode.asDataFrame(spark, s"$tmp/foo.las").count() === 81L)
+  }
+
   test("inline json option and unknown-filter skip") {
     val kept = PclBlock.run(autzen,
       """{"pipeline":{"filters":[
