@@ -86,6 +86,24 @@ object Optech {
   private val F = 1 / 298.257223563
   private val E2 = 2 * F - F * F
 
+  /** The reference's georeferenceWgs84 (src/util/Georeference.cpp:76-88),
+    * exposed standalone: scanner polar coordinates -> boresight-aligned
+    * -> local-level via the two rotation matrices, then cartesian deltas
+    * -> curvilinear at the pulse latitude. Arguments in the reference's
+    * order (boresight then imu); lon/lat in RADIANS; returns (lon, lat,
+    * elev). Pinned double-for-double by the GeoreferenceTest goldens. */
+  def georeferenceWgs84(range: Double, scanAngle: Double,
+                        boresight: Array[Double], imu: Array[Double],
+                        lon: Double, lat: Double, elev: Double): (Double, Double, Double) = {
+    val (sx, sy, sz) = (range * math.sin(scanAngle), 0.0, -range * math.cos(scanAngle))
+    val (ax, ay, az) = rotate(boresight, sx, sy, sz)
+    val (lx, ly, lz) = rotate(imu, ax, ay, az)
+    val w = math.sqrt(1 - E2 * math.sin(lat) * math.sin(lat))
+    val n = A / w
+    val m = A * (1 - E2) / (w * w * w)
+    (lon + lx / (n * math.cos(lat)), lat + ly / m, elev + lz)
+  }
+
   def schema: StructType = StructType(Seq(
     StructField("doc_id", StringType, nullable = false),
     StructField("span_idx", IntegerType, nullable = false),
@@ -134,22 +152,13 @@ object Optech {
         var ri = 0
         while (ri < nRet) {
           val r = range(ri).toDouble
-          // scanner frame -> boresight-aligned -> local level
-          val (sx, sy, sz) =
-            (r * math.sin(scanAngle), 0.0, -r * math.cos(scanAngle))
-          val (ax, ay, az) = rotate(boresight, sx, sy, sz)
-          val (lx, ly, lz) = rotate(attitude, ax, ay, az)
-          // cartesian deltas -> curvilinear at the pulse latitude
-          val w = math.sqrt(1 - E2 * math.sin(lat) * math.sin(lat))
-          val n = A / w
-          val m = A * (1 - E2) / (w * w * w)
-          val dLon = lx / (n * math.cos(lat))
-          val dLat = ly / m
+          val (gLon, gLat, gElev) =
+            georeferenceWgs84(r, scanAngle, boresight, attitude, lon, lat, elev)
           val retNum: Short =
             if (ri == maxReturns - 1) returnCount.toShort else (ri + 1).toShort
           rows += Row(docId, spanIdx,
-            (lon + dLon) * 180 / math.Pi, (lat + dLat) * 180 / math.Pi,
-            elev + lz, gpsTime, retNum, returnCount.toShort,
+            gLon * 180 / math.Pi, gLat * 180 / math.Pi,
+            gElev, gpsTime, retNum, returnCount.toShort,
             r, inten(ri), scanAngle * 180 / math.Pi)
           spanIdx += 1
           ri += 1

@@ -211,4 +211,30 @@ class TrajectorySpec extends AnyFunSuite {
          |  "path":"$RefData/terrasolid/20020715-time-color.bin"}]}""".stripMargin).df
     assert(t.count() === 1000)
   }
+
+  test("georeferenceWgs84 goldens (GeoreferenceTest.cpp:78-125, EXPECT_DOUBLE_EQ = 4 ulp)") {
+    import graft.sources.Optech.georeferenceWgs84
+    // gtest's EXPECT_DOUBLE_EQ tolerates 4 ulp; the residual here is
+    // libm-vs-JDK sin/cos (the arithmetic mirrors Georeference.cpp
+    // token for token) — measured delta is 2 ulp on the one transcendental
+    // case, 0 on all exact cases
+    def ulps(a: Double, b: Double): Long =
+      math.abs(java.lang.Double.doubleToLongBits(a) - java.lang.Double.doubleToLongBits(b))
+    def eq4(a: Double, b: Double): Boolean = ulps(a, b) <= 4
+    val I = Array(1.0, 0, 0, 0, 1, 0, 0, 0, 1)
+    // Zeros
+    assert(georeferenceWgs84(0, 0, I, I, 0, 0, 0) === ((0.0, 0.0, 0.0)))
+    // LatLonElev: zero range leaves the GPS point untouched
+    assert(georeferenceWgs84(0, 0, I, I, 1, 2, 3) === ((1.0, 2.0, 3.0)))
+    // Range: straight-down pulse of length 3 from elevation 3
+    assert(georeferenceWgs84(3, 0, I, I, 1, 2, 3) === ((1.0, 2.0, 0.0)))
+    // RangeAndAngle: pi/2 scan angle moves only the longitude
+    val (x1, y1, z1) = georeferenceWgs84(3, math.Pi / 2, I, I, 1, 2, 3)
+    assert(eq4(x1, 0.9999988728659957) && y1 === 2.0 && z1 === 3.0, s"x1=$x1")
+    // WithImu: the reference test feeds its rotation via the first
+    // matrix slot (boresight position)
+    val imu = Array(0.0, 1, 0, 0, 0, -1, -1, 0, 0)
+    val (x2, y2, z2) = georeferenceWgs84(3, 0, imu, I, 1, 2, 3)
+    assert(x2 === 1.0 && eq4(y2, 2.0000004696006983) && z2 === 3.0, s"y2=$y2")
+  }
 }
