@@ -497,6 +497,26 @@ class OperatorBehaviorSpec extends AnyFunSuite {
     assert(extra.filter(col("sum_xy") =!= col("x") + col("y")).count() === 0)
   }
 
+  test("predicate goldens on the 1000-point ramp (PredicateFilterTest.cpp:48-105,246-300)") {
+    import UdfSurface.Point
+    val ds = Faux.ramp(spark, Faux.Box3(0, 0, 0, 2, 2, 2), 1000)
+      .select(col("doc_id"), col("span_idx"), col("x"), col("y"), col("z"))
+      .as[Point]
+    // test4: Y > 0.5 keeps exactly 750 of 1000
+    assert(UdfSurface.predicate(_.y > 0.5)(ds).count() === 750L)
+    // test1: X < 1.0 — surviving stats min ~0, max ~1.0 (tol 0.01)
+    val s1 = UdfSurface.predicate(_.x < 1.0)(ds)
+      .agg(min("x"), max("x"), min("y"), max("y"), min("z"), max("z")).head()
+    assert(math.abs(s1.getDouble(0) - 0.0) < 0.01 && math.abs(s1.getDouble(1) - 1.0) < 0.01)
+    assert(math.abs(s1.getDouble(3) - 1.0) < 0.01 && math.abs(s1.getDouble(5) - 1.0) < 0.01)
+    // test3: chained predicates (X < 1.0 then Y > 0.5) compose like the
+    // reference's two-stage pipeline: y in (0.5, 1.0-ish]
+    val s3 = UdfSurface.predicate(_.y > 0.5)(UdfSurface.predicate(_.x < 1.0)(ds))
+      .agg(min("y"), max("y"), count(lit(1))).head()
+    assert(s3.getDouble(0) > 0.5 && math.abs(s3.getDouble(1) - 1.0) < 0.01)
+    assert(s3.getLong(2) === 250L) // ramp: quarter of the box survives both
+  }
+
   test("columnar (dim-major) payload encoding decodes to the same point frame") {
     val docs = graft.sources.DocSynth.cachedDocs(spark, "/root/testdata/sf0.001")
     val rowMajor = Model.explodePoints(docs)
