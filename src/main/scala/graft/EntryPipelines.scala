@@ -374,10 +374,12 @@ object EntryPipelines {
     * Math.round, NOT SQL round which is half-away-from-zero). */
   private def hexSql: String = {
     val e = "50.0"
+    // KEEP IN SYNC with HexGrid.hexCell: flat-top axial on the hexer
+    // lattice (centers shifted by (e/2, sqrt(3)e/2)), cube rounding
     s"""hx AS (
        |  SELECT *,
-       |    (sqrt(3.0) / 3.0 * x - y / 3.0) / $e AS qf,
-       |    (2.0 / 3.0 * y) / $e AS rf
+       |    (2.0 / 3.0 * (x - $e / 2.0)) / $e AS qf,
+       |    (-(x - $e / 2.0) / 3.0 + sqrt(3.0) / 3.0 * (y - sqrt(3.0) * $e / 2.0)) / $e AS rf
        |  FROM pts),
        |hx2 AS (
        |  SELECT *, (-qf - rf) AS yf,

@@ -417,14 +417,17 @@ object HexBoundary {
       .select("hex_q", "hex_r").collect()
     val polys = cells.map { r =>
       val q = r.getInt(0); val rr = r.getInt(1)
-      // pointy-top axial -> center (inverse of HexGrid axial transform)
-      val cx = edge * math.sqrt(3.0) * (q + rr / 2.0)
-      val cy = edge * 1.5 * rr
-      val coords = (0 to 6).map { i =>
-        val ang = math.Pi / 180 * (60 * i - 30)
+      // flat-top axial -> center on the fixture-pinned hexer lattice
+      // (inverse of HexGrid.hexCell's shifted transform)
+      val cx = edge * 1.5 * q + edge / 2.0
+      val cy = edge * math.sqrt(3.0) * (rr + q / 2.0) + edge * math.sqrt(3.0) / 2.0
+      val hexV = (0 until 6).map { i =>
+        val ang = math.Pi / 180 * (60 * i)
         new Coordinate(cx + edge * math.cos(ang), cy + edge * math.sin(ang))
-      }.toArray
-      gf.createPolygon(coords): Geometry
+      }
+      // close by repeating the first coordinate exactly (cos/sin of 2*pi
+      // are not bit-identical to cos/sin of 0)
+      gf.createPolygon((hexV :+ hexV.head).toArray): Geometry
     }
     if (polys.isEmpty) "MULTIPOLYGON EMPTY"
     else {
@@ -434,15 +437,25 @@ object HexBoundary {
   }
 }
 
-/** Pointy-top axial hex grid with cube rounding — standard public
-  * hexagonal-grid mathematics (Amit Patel's hex grid reference pages /
-  * hexer's tessellation). */
+/** FLAT-TOP axial hex grid with cube rounding, on hexer's layout —
+  * the reference's tessellation library (clean-room: standard public
+  * hex-grid mathematics, Amit Patel's reference pages, with the grid
+  * convention PINNED BY THE REFERENCE'S OWN FIXTURE
+  * test/data/filters/hexbin.txt: flat-top hexagons whose LOWER-LEFT
+  * VERTEX lattice anchors at the origin, i.e. centers at
+  * (1.5e*q + e/2, sqrt(3)*e*(r + q/2) + sqrt(3)*e/2) — the
+  * hexbin-boundary golden reproduces that fixture's MULTIPOLYGON
+  * exactly). */
 object HexGrid {
   /** Axial (q, r) of the hex containing (x, y), packed q<<32|r (each
     * int32). */
   def hexCell(x: Double, y: Double, edge: Double): Long = {
-    val qf = (math.sqrt(3.0) / 3.0 * x - y / 3.0) / edge
-    val rf = (2.0 / 3.0 * y) / edge
+    // shift by the center of hex (0,0) so cube rounding is measured
+    // from hex centers on the fixture-pinned lattice
+    val xs = x - edge / 2.0
+    val ys = y - math.sqrt(3.0) * edge / 2.0
+    val qf = (2.0 / 3.0 * xs) / edge
+    val rf = (-xs / 3.0 + math.sqrt(3.0) / 3.0 * ys) / edge
     // cube round
     val xf = qf; val zf = rf; val yf = -xf - zf
     var rx = math.round(xf).toDouble

@@ -482,6 +482,25 @@ class OperatorBehaviorSpec extends AnyFunSuite {
     assert(!geom.covers(gf.createPoint(new org.locationtech.jts.geom.Coordinate(100, 100))))
   }
 
+  test("hexbin boundary reproduces the reference fixture (HexbinFilterTest + hexbin.txt)") {
+    // hextest.las (8 points), edge_length 0.666666666, threshold 1 ->
+    // the exact MULTIPOLYGON in test/data/filters/hexbin.txt (7 hexes).
+    // This pins the hex-grid convention (flat-top, lower-left-vertex
+    // lattice at the origin) against the reference's own output.
+    val pts = graft.sources.LasDecode.asDataFrame(spark, s"$RefData/las/hextest.las")
+    val density = TileOps.hexDensity(0.666666666)(pts)
+    assert(density.count() === 7L)
+    val ours = graft.index.PolygonCover.fromWkt(
+      HexBoundary.boundaryWkt(density, 0.666666666))
+    val fixtureWkt = scala.io.Source.fromFile(s"$RefData/filters/hexbin.txt")
+      .getLines().next().split(" : ", 2)(1)
+    val fixture = graft.index.PolygonCover.fromWkt(fixtureWkt)
+    // geometric equality (vertex ORDER/tracing differ; hexer prints 8
+    // decimals, so compare by symmetric difference, not text)
+    val sym = ours.symDifference(fixture).getArea
+    assert(sym < 1e-6, s"boundary mismatch, symmetric-difference area $sym\nours: $ours")
+  }
+
   test("UDF surface: typed predicate and programmable transform") {
     import UdfSurface.Point
     val ds = Faux.ramp(spark, Faux.Box3(0, 0, 0, 10, 10, 10), 11)
