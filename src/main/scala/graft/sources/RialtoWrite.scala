@@ -140,8 +140,25 @@ object RialtoWrite {
       (n, dimRow.getDouble(3 * i), dimRow.getDouble(3 * i + 1), dimRow.getDouble(3 * i + 2))
     }
     def f6(v: Double) = java.lang.String.format(java.util.Locale.ROOT, "%.6f", Double.box(v))
-    val dimJson = valueCols.zip(dimStats).map { case ((n, dt), (_, mn, mean, mx)) =>
-      val tn = dt.simpleString
+    // PDAL-canonical dimension names and C type names in the header, so
+    // a rialto consumer reading the reference's header.json layout
+    // (test/data/io/header.json) parses ours identically
+    def pdalName(n: String): String = n match {
+      case "x" => "X"; case "y" => "Y"; case "z" => "Z"
+      case "intensity" => "Intensity"; case "offset_time" => "OffsetTime"
+      case "gps_time" => "GpsTime"; case "classification" => "Classification"
+      case "red" => "Red"; case "green" => "Green"; case "blue" => "Blue"
+      case other => other
+    }
+    def pdalType(dt: DataType): String = dt match {
+      case DoubleType => "double"; case FloatType => "float"
+      case LongType => "int64_t"; case IntegerType => "int32_t"
+      case ShortType => "int16_t"; case ByteType => "int8_t"
+      case other => other.simpleString
+    }
+    val dimJson = valueCols.zip(dimStats).map { case ((n0, dt), (_, mn, mean, mx)) =>
+      val n = pdalName(n0)
+      val tn = pdalType(dt)
       s"""        {
          |            "datatype": "$tn",
          |            "name": "$n",

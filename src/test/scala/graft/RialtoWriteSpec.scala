@@ -85,7 +85,7 @@ class RialtoWriteSpec extends AnyFunSuite {
     assert(header.contains("\"version\": 3"))
     assert(header.contains(s"\"numPoints\": $n"))
     assert(header.contains("\"numTilesX\": 2"))
-    Seq("x", "y", "z").foreach(d => assert(header.contains(s""""name": "$d"""")))
+    Seq("X", "Y", "Z").foreach(d => assert(header.contains(s""""name": "$d"""")))
 
     // refusal semantics without overwrite (RialtoWriter.cpp:99-105)
     val boom = intercept[IllegalArgumentException] {
@@ -94,6 +94,44 @@ class RialtoWriteSpec extends AnyFunSuite {
     assert(boom.getMessage.contains("already exists"))
     // and a clean re-run with overwrite
     assert(RialtoWrite.write(dir, df, maxLevel, overwrite = true) === want.size.toLong)
+  }
+
+  test("header.json matches the reference golden (RialtoWriterTest + test/data/io/header.json)") {
+    // the reference's testWriteHeaderOverwrite: faux ramp of 10 points,
+    // bounds (1,2,3)-(11,12,13), max_level 0 -> byte-for-byte the
+    // X/Y/Z dimension entries and every scalar of io/header.json. The
+    // one unrepresentable field: OffsetTime's datatype is uint32_t in
+    // the reference (Spark has no unsigned int; ours is the faux
+    // reader's double ordinal) — compared on stats, not type name.
+    val dir = java.nio.file.Files.createTempDirectory("rialtogold").toString + "/t"
+    val df = graft.sources.Faux.ramp(spark, graft.sources.Faux.Box3(1, 2, 3, 11, 12, 13), 10)
+    RialtoWrite.write(dir, df, maxLevel = 0)
+    val ours = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$dir/header.json")), "US-ASCII")
+    val golden = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("/root/reference/test/data/io/header.json")), "US-ASCII")
+    // scalars byte-identical
+    for (line <- Seq("\"version\": 3",
+        "\"tilebbox\": [-180.000000, -90.000000, 180.000000, 90.000000]",
+        "\"numTilesX\": 2", "\"numTilesY\": 1",
+        "\"databbox\": [1.000000, 2.000000, 11.000000, 12.000000]",
+        "\"numPoints\": 10")) {
+      assert(golden.contains(line), s"golden drifted? $line")
+      assert(ours.contains(line), s"missing: $line\n$ours")
+    }
+    // X/Y/Z dimension blocks byte-identical to the golden's
+    def dimBlock(src: String, name: String): String = {
+      val at = src.indexOf(s""""name": "$name"""")
+      assert(at > 0, s"$name not in header")
+      src.substring(src.lastIndexOf('{', at), src.indexOf('}', at) + 1)
+        .replaceAll("\\s+", " ")
+    }
+    for (d <- Seq("X", "Y", "Z"))
+      assert(dimBlock(ours, d) === dimBlock(golden, d), s"dim $d differs")
+    // OffsetTime stats match (0..9 ramp: min 0, mean 4.5, max 9)
+    val ot = dimBlock(ours, "OffsetTime")
+    assert(ot.contains("\"min\": 0.000000") && ot.contains("\"mean\": 4.500000") &&
+      ot.contains("\"max\": 9.000000"), ot)
   }
 
   test("pipeline writers.rialto stage emits the tile tree") {
