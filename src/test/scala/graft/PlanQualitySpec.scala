@@ -164,6 +164,30 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(c1.zip(seeds).exists { case (a, s) => a.toSeq != s.toSeq })
   }
 
+  test("exact PMF window joins: no cartesian product, map-side-combinable min/max") {
+    val p = GroundOps.PmfParams(cellSize = 4, maxWindowSize = 40,
+      slope = 1.0, initialDistance = 2.0, maxDistance = 20.0)
+    val plan = planOf(GroundOps.pmfExact(p)(stored.limit(500)))
+    assert(!plan.contains("CartesianProduct"), s"cartesian in PMF plan:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoop"), s"nested-loop join in PMF plan:\n$plan")
+  }
+
+  test("exact PMF membership is identical across shuffle partitionings (4 vs 32)") {
+    val p = GroundOps.PmfParams(cellSize = 8, maxWindowSize = 20,
+      slope = 1.0, initialDistance = 2.0, maxDistance = 20.0)
+    def run(parts: Int): Set[(String, Int)] = {
+      val prev = spark.conf.get("spark.sql.shuffle.partitions")
+      spark.conf.set("spark.sql.shuffle.partitions", parts.toString)
+      try GroundOps.pmfExact(p, extract = true)(stored.repartition(parts))
+        .select("doc_id", "span_idx").collect()
+        .map(r => (r.getString(0), r.getInt(1))).toSet
+      finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    }
+    val a = run(4); val b = run(32)
+    assert(a === b, s"PMF ground set differs: ${a.size} vs ${b.size}")
+    assert(a.nonEmpty)
+  }
+
   test("morton key and cell id are codegen'd projections") {
     val df = stored.select(
       graft.functions.SpatialFunctions.mortonKey(col("x"), col("y")).as("mk"),
