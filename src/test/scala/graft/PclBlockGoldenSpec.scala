@@ -105,6 +105,19 @@ class PclBlockGoldenSpec extends AnyFunSuite {
     assert(kept === 81L)
   }
 
+  test("translate-style VoxelGrid decimation leg (TranslateKernel.cpp:276-301's generated json)") {
+    // the reference's `pdal translate --decimation-method=VoxelGrid`
+    // assembles a filters.pclblock with exactly this inline JSON
+    val json = """{  "pipeline": {    "filters": [{      "name": "VoxelGrid",
+      "setLeafSize": {        "x": 500,        "y": 500,        "z": 10        }      }]    }}"""
+    val spec = s"""{"pipeline":[
+      {"type":"readers.las","path":"$RefData/autzen/autzen-point-format-3.las"},
+      {"type":"filters.pclblock","json":${org.json4s.jackson.JsonMethods.compact(
+        org.json4s.jackson.JsonMethods.render(org.json4s.JString(json)))}}]}"""
+    // leaf 500x500x10 on autzen = the filter_VoxelGrid golden -> 81
+    assert(Pipeline.run(spark, spec).df.count() === 81L)
+  }
+
   test("tile_size is rejected loudly") {
     val ex = intercept[IllegalArgumentException] {
       PclBlock.run(autzen, """{"pipeline":{"tile_size":100,"filters":[]}}""")
