@@ -29,7 +29,7 @@ class CodegenGateSpec extends AnyFunSuite {
     "q_near_dup", "q_minhash_dedup", "q_dedup_cc",
     "q_simhash", "q_fingerprint", "q_crop_polygon", "q_morton_sort",
     "q_token_bpe", "q_ann_ivf_pq", "q_grid_shift", "q_reproject",
-    "q_bloom_delta")
+    "q_bloom_delta", "q_hexbin")
 
   test("hot-path expressions compile under CODEGEN_ONLY with zero fallback") {
     val compileFailures = new java.util.concurrent.ConcurrentLinkedQueue[String]()
