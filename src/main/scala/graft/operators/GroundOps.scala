@@ -30,7 +30,14 @@ object GroundOps {
     initialDistance: Double = 0.15,
     maxDistance: Double = 2.5,
     base: Double = 2.0,
-    exponential: Boolean = true)
+    exponential: Boolean = true,
+    /** Compute the window/threshold schedule and the keep test in
+      * float32, like PCL stores them (progressive_morphological_filter
+      * keeps window_sizes/height_thresholds as float and diffs float
+      * z) — the pclblock emulation path sets this; the engine-native
+      * filters.ground stays double. Proven bit-for-bit by the NINE
+      * thin-autzen goldens (PmfThinGoldenSpec). */
+    floatSchedule: Boolean = false)
 
   /** Cell-unit window half-size ladder used by the GRID (approximate)
     * branch: window_size_k = 2*base^k+1 (exponential) or 2*k*base+1
@@ -57,21 +64,46 @@ object GroundOps {
     * before computing the next window, so the final window overshoots —
     * pinned by the autzen pclblock goldens, which are sensitive to the
     * extra round). */
-  def pclLadder(p: PmfParams): Seq[(Double, Double)] = {
+  def pclLadder(p: PmfParams): Seq[(Double, Double)] =
+    if (p.floatSchedule) pclLadderFloat(p) else {
+      val out = Seq.newBuilder[(Double, Double)]
+      var iteration = 0
+      var windowSize = 0.0
+      var prevWindow = 0.0
+      while (windowSize < p.maxWindowSize) {
+        prevWindow = windowSize
+        windowSize =
+          if (p.exponential) p.cellSize * (2.0 * math.pow(p.base, iteration) + 1.0)
+          else p.cellSize * (2.0 * (iteration + 1) * p.base + 1.0)
+        val dh0 =
+          if (iteration == 0) p.initialDistance
+          else p.slope * (windowSize - prevWindow) * p.cellSize + p.initialDistance
+        out += ((windowSize, math.min(dh0, p.maxDistance)))
+        iteration += 1
+      }
+      out.result()
+    }
+
+  /** The same schedule in float32 arithmetic — the precision PCL
+    * actually computes and stores it in. The ladder values differ from
+    * the double schedule in the last float ulp (e.g. threshold
+    * 0.15f != 0.15), which is exactly what the thin-autzen golden
+    * counts are sensitive to. */
+  private def pclLadderFloat(p: PmfParams): Seq[(Double, Double)] = {
     val out = Seq.newBuilder[(Double, Double)]
-    var iteration = 0
-    var windowSize = 0.0
-    var prevWindow = 0.0
-    while (windowSize < p.maxWindowSize) {
-      prevWindow = windowSize
-      windowSize =
-        if (p.exponential) p.cellSize * (2.0 * math.pow(p.base, iteration) + 1.0)
-        else p.cellSize * (2.0 * (iteration + 1) * p.base + 1.0)
-      val dh0 =
-        if (iteration == 0) p.initialDistance
-        else p.slope * (windowSize - prevWindow) * p.cellSize + p.initialDistance
-      out += ((windowSize, math.min(dh0, p.maxDistance)))
-      iteration += 1
+    var it = 0
+    var w = 0.0f
+    var prev = 0.0f
+    val cf = p.cellSize.toFloat; val bf = p.base.toFloat
+    val sf = p.slope.toFloat; val in0 = p.initialDistance.toFloat
+    val mdf = p.maxDistance.toFloat
+    while (w < p.maxWindowSize.toFloat) {
+      prev = w
+      w = if (p.exponential) cf * (2.0f * math.pow(bf, it).toFloat + 1.0f)
+          else cf * (2.0f * (it + 1) * bf + 1.0f)
+      val dh0 = if (it == 0) in0 else sf * (w - prev) * cf + in0
+      out += ((w.toDouble, math.min(dh0, mdf).toDouble))
+      it += 1
     }
     out.result()
   }
@@ -203,8 +235,16 @@ object GroundOps {
         .join(ground.select(col("doc_id"), col("span_idx"), col("x"), col("y")),
           Seq("doc_id", "span_idx"))
       val opened = windowAgg(ground, eroded, r, "__ev", isMin = false, "__ov")
+      // strict < keep (the published algorithm); under floatSchedule
+      // the diff narrows to float32 before the compare, like PCL's
+      // float z arithmetic — boundary membership proven by the
+      // thin-autzen goldens
+      val keep =
+        if (p.floatSchedule)
+          (col("z") - col("__ov")).cast(FloatType) < lit(dh.toFloat)
+        else col("z") - col("__ov") < dh
       ground = ground.join(opened, Seq("doc_id", "span_idx"))
-        .filter(col("z") - col("__ov") < dh)
+        .filter(keep)
         .select(col("doc_id"), col("span_idx"), col("x"), col("y"), col("z"))
         .localCheckpoint(eager = false)
     }

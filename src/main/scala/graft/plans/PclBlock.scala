@@ -87,9 +87,18 @@ object PclBlock {
     val extentY = math.max(b.getDouble(3) - my, 1e-9)
     val space = CellSpace(0.0, 0.0, extentX + 1.0, extentY + 1.0)
 
-    val shifted = df.withColumn("x", col("x") - mx)
-      .withColumn("y", col("y") - my)
-      .withColumn("z", col("z") - mz)
+    // PDALtoPCD narrows the shifted coordinates to FLOAT32 (PCL's
+    // PointXYZ, PCLConversions.hpp:150-152); mirroring the narrowing is
+    // what makes the thin-autzen PMF goldens land bit-for-bit (the
+    // boundary membership of |dx| <= window/2 and the z-diff keep test
+    // both see float-valued coordinates)
+    val shifted = df
+      .withColumn("x", (col("x") - mx).cast(org.apache.spark.sql.types.FloatType)
+        .cast(org.apache.spark.sql.types.DoubleType))
+      .withColumn("y", (col("y") - my).cast(org.apache.spark.sql.types.FloatType)
+        .cast(org.apache.spark.sql.types.DoubleType))
+      .withColumn("z", (col("z") - mz).cast(org.apache.spark.sql.types.FloatType)
+        .cast(org.apache.spark.sql.types.DoubleType))
 
     val out = filters.foldLeft(shifted) { (cur, f) =>
       applyFilter(cur, f, mx, my, mz, space)
@@ -169,16 +178,22 @@ object PclBlock {
           initialDistance = dbl("setInitialDistance", 0.15),
           maxDistance = dbl("setMaxDistance", 2.5),
           base = dbl("setBase", 2.0),
-          exponential = bool("setExponential", true))
+          exponential = bool("setExponential", true),
+          floatSchedule = true) // PCL emulation: float32 ladder + diff
         val negative = bool("setNegative", false)
-        val classified =
-          if (name.toLowerCase.startsWith("approximate")) GroundOps.pmf(p)(df)
-          else GroundOps.pmfExact(p)(df)
-        val keep =
-          if (negative) classified.filter(col("classification") =!= 2)
-          else classified.filter(col("classification") === 2)
-        if (df.columns.contains("classification")) keep
-        else keep.drop("classification")
+        // PCL's PointXYZ cloud carries NO classification dim — the PMF
+        // verdict must not be confused with a pre-existing
+        // classification column on the frame (autzen carries ASPRS
+        // classes already). Compute ground membership on a slim
+        // projection and semi/anti-join the original rows.
+        val slim = df.select("doc_id", "span_idx", "x", "y", "z")
+        val ground = (
+          if (name.toLowerCase.startsWith("approximate"))
+            GroundOps.pmf(p, extract = true)(slim)
+          else GroundOps.pmfExact(p, extract = true)(slim))
+          .select("doc_id", "span_idx")
+        df.join(ground, Seq("doc_id", "span_idx"),
+          if (negative) "left_anti" else "left_semi")
 
       case "movingleastsquares" =>
         // reference hardcodes radius 1, polynomial order 2
