@@ -163,8 +163,18 @@ object PclBlock {
         // the PCL filter — identity columns do not survive)
         def leaf(k: String): Double =
           (f \ "setLeafSize" \ k).extractOpt[Double].getOrElse(1.0)
-        AggOps.voxelGrid(leaf("x"), leaf("y"), leaf("z"))(df)
+        // centroids are synthetic points — regenerate the engine's
+        // (doc_id, span_idx) identity so downstream neighbor filters
+        // (SOR/ROR/PMF/MLS) in the same block still compose, like
+        // PCL's fresh output cloud. Collision-free split of the
+        // 64-bit id across the two identity columns.
+        val vg = AggOps.voxelGrid(leaf("x"), leaf("y"), leaf("z"))(df)
           .drop("vx", "vy", "vz", "n")
+          .withColumn("__vid", monotonically_increasing_id())
+        vg.select(
+          concat(lit("voxel_"), shiftright(col("__vid"), 31).cast("string")).as("doc_id"),
+          (col("__vid").bitwiseAND(0x7fffffffL)).cast("int").as("span_idx"),
+          col("x"), col("y"), col("z"))
 
       case "gridminimum" =>
         AggOps.gridMinimum(dbl("setResolution", 1.0))(df).drop("gx", "gy")

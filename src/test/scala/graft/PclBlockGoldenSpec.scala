@@ -118,6 +118,27 @@ class PclBlockGoldenSpec extends AnyFunSuite {
     assert(Pipeline.run(spark, spec).df.count() === 81L)
   }
 
+  test("VoxelGrid composes with downstream neighbor filters (synthetic identity)") {
+    // PCL chains freely: VoxelGrid's output cloud feeds the next filter.
+    // Our centroids are synthetic rows, so identity must be regenerated
+    // for the kNN-based filters to run. leaf 500x500x10 -> 81 voxels;
+    // a follow-up ROR with a generous radius keeps all 81 (every
+    // centroid has >= 1 neighbor within 3000 on a ~1000-unit-wide
+    // dataset), a PassThrough then cuts by z.
+    val kept = PclBlock.run(autzen,
+      """{"pipeline":{"filters":[
+        {"name":"VoxelGrid","setLeafSize":{"x":500.0,"y":500.0,"z":10.0}},
+        {"name":"RadiusOutlierRemoval","setMinNeighborsInRadius":1,
+         "setRadiusSearch":3000.0}]}}""").count()
+    assert(kept === 81L)
+    val thin2 = PclBlock.run(autzen,
+      """{"pipeline":{"filters":[
+        {"name":"VoxelGrid","setLeafSize":{"x":500.0,"y":500.0,"z":10.0}},
+        {"name":"PassThrough","setFilterFieldName":"z",
+         "setFilterLimits":{"min":410.0,"max":440.0}}]}}""").count()
+    assert(thin2 > 0 && thin2 < 81, s"voxel+passthrough kept $thin2")
+  }
+
   test("tile_size is rejected loudly") {
     val ex = intercept[IllegalArgumentException] {
       PclBlock.run(autzen, """{"pipeline":{"tile_size":100,"filters":[]}}""")
