@@ -139,6 +139,19 @@ class PclBlockGoldenSpec extends AnyFunSuite {
     assert(thin2 > 0 && thin2 < 81, s"voxel+passthrough kept $thin2")
   }
 
+  test("filters.hexbin option surface: edge_length/edge_size aliases and sample-based auto edge") {
+    import graft.plans.Pipeline
+    def run(opts: String): Long = Pipeline.run(spark, s"""{"pipeline":[
+      {"type":"readers.las","path":"$RefData/las/hextest.las"},
+      {"type":"filters.hexbin"$opts}]}""").df.count()
+    // the fixture pairing: edge 0.666666666 -> 7 occupied hexes
+    assert(run(""","edge_length":0.666666666""") === 7L)
+    assert(run(""","edge_size":0.666666666""") === 7L)  // legacy alias
+    // edge omitted -> deterministic sample estimate; sane non-empty grid
+    val auto = run("")
+    assert(auto >= 1L && auto <= 8L, s"auto-edge hex count $auto")
+  }
+
   test("tile_size is rejected loudly") {
     val ex = intercept[IllegalArgumentException] {
       PclBlock.run(autzen, """{"pipeline":{"tile_size":100,"filters":[]}}""")
