@@ -409,9 +409,9 @@ object HexBoundary {
     * filters.hexbin boundary output, HexBin.cpp:89-146): driver-side
     * union of the aggregated cells' hexagons — O(#occupied hexes),
     * which is tiny relative to the point count, exactly like the
-    * reference's hexer summary. Optionally require a minimum density
-    * (hexbin's threshold option). */
-  def boundaryWkt(hexDensity: DataFrame, edge: Double, minDensity: Long = 1): String = {
+    * reference's hexer summary. `minDensity` is hexbin's threshold
+    * option — default 15, the reference's default (HexBin.cpp:55). */
+  def boundaryWkt(hexDensity: DataFrame, edge: Double, minDensity: Long = 15): String = {
     val gf = new GeometryFactory()
     val cells = hexDensity.filter(col("density") >= minDensity)
       .select("hex_q", "hex_r").collect()

@@ -491,7 +491,7 @@ class OperatorBehaviorSpec extends AnyFunSuite {
     val density = TileOps.hexDensity(0.666666666)(pts)
     assert(density.count() === 7L)
     val ours = graft.index.PolygonCover.fromWkt(
-      HexBoundary.boundaryWkt(density, 0.666666666))
+      HexBoundary.boundaryWkt(density, 0.666666666, minDensity = 1)) // fixture threshold 1
     val fixtureWkt = scala.io.Source.fromFile(s"$RefData/filters/hexbin.txt")
       .getLines().next().split(" : ", 2)(1)
     val fixture = graft.index.PolygonCover.fromWkt(fixtureWkt)
