@@ -133,6 +133,9 @@ object PclBlock {
         val field = (f \ "setFilterFieldName").extractOpt[String]
           .getOrElse(throw new IllegalArgumentException(
             "pclblock PassThrough: setFilterFieldName is required"))
+        require(df.columns.contains(field),
+          s"pclblock PassThrough: field '$field' not in frame " +
+            s"(have ${df.columns.mkString(", ")})")
         val off = field match {
           case "x" => mx; case "y" => my; case "z" => mz; case _ => 0.0
         }
