@@ -153,6 +153,19 @@ object EntryPipelines {
       AnnOps.lshTopK(queryVec, k = 20, planes = 6)(embs(s, dir))
         .select(col("vec_id"), col("label"), round(col("sim"), 6).as("sim6"))),
 
+    // the filters.pclblock STAGE itself under the oracle: a PassThrough
+    // -> VoxelGrid PCL sub-pipeline, including the reference's
+    // min-bounds shift + float32 narrowing (exact here: shifted coords
+    // are 0.5-multiples <= 1024, representable in float32, so centroid
+    // sums are order-free integers-of-halves on both engines)
+    "q_pclblock" -> ((s, dir) =>
+      graft.plans.PclBlock.run(pts(s, dir),
+        """{"pipeline":{"filters":[
+          {"name":"PassThrough","setFilterFieldName":"z",
+           "setFilterLimits":{"min":100.0,"max":300.0}},
+          {"name":"VoxelGrid","setLeafSize":{"x":64.0,"y":64.0,"z":16.0}}]}}""")
+        .select("x", "y", "z")),
+
     // ---- text analysis ------------------------------------------------
     "q_token_count" -> ((s, dir) =>
       TextOps.tokenCounts(docs(s, dir))),
@@ -746,6 +759,30 @@ object EntryPipelines {
            |SELECT doc_id, span_idx, cls FROM exact_classified""".stripMargin,
 
       "q_ann_lsh" -> annLshSql,
+
+      // KEEP IN SYNC with PclBlock.run: min-bounds shift, float32
+      // narrowing (CAST AS REAL), PassThrough offset-adjusted limits,
+      // VoxelGrid centroids on the shifted lattice, unshift
+      "q_pclblock" ->
+        s"""WITH $P,
+           |m AS (SELECT min(x) AS mx, min(y) AS my, min(z) AS mz FROM pts),
+           |sh AS (
+           |  SELECT CAST(CAST(p.x - m.mx AS REAL) AS DOUBLE) AS xs,
+           |         CAST(CAST(p.y - m.my AS REAL) AS DOUBLE) AS ys,
+           |         CAST(CAST(p.z - m.mz AS REAL) AS DOUBLE) AS zs
+           |  FROM pts p CROSS JOIN m),
+           |pt AS (
+           |  SELECT sh.* FROM sh CROSS JOIN m
+           |  WHERE zs >= 100.0 - m.mz AND zs <= 300.0 - m.mz),
+           |vox AS (
+           |  SELECT CAST(floor(xs / 64.0) AS BIGINT) AS vx,
+           |         CAST(floor(ys / 64.0) AS BIGINT) AS vy,
+           |         CAST(floor(zs / 16.0) AS BIGINT) AS vz,
+           |         sum(xs) / count(*) AS cx, sum(ys) / count(*) AS cy,
+           |         sum(zs) / count(*) AS cz
+           |  FROM pt GROUP BY 1, 2, 3)
+           |SELECT cx + m.mx AS x, cy + m.my AS y, cz + m.mz AS z
+           |FROM vox CROSS JOIN m""".stripMargin,
 
       "q_ann_cosine" ->
         s"""WITH q AS (SELECT $queryVecSql AS qv),
