@@ -30,11 +30,12 @@ import graft.index.CellSpace
   * cloud with the view's min-bounds subtracted (PCLBlock.cpp:79-85,
   * PCLConversions.hpp:145-152) and conveys the offsets to PassThrough
   * limits (PCLPipeline.hpp:248-264). The shift anchors VoxelGrid /
-  * GridMinimum cells at the DATA MINIMUM, not the world origin — we
-  * reproduce it exactly (shift in, filter, shift out), in double
-  * precision (the reference's float32 narrowing is a conversion
-  * artifact of PCL's point type, not a semantic; parity on the in-tree
-  * goldens is unaffected).
+  * GridMinimum cells at the DATA MINIMUM, not the world origin — AND
+  * narrows the shifted coordinates to float32 (PCL's PointXYZ). We
+  * reproduce both exactly (shift in, narrow, filter, shift out): the
+  * narrowing is LOAD-BEARING for golden parity — the thin-autzen PMF
+  * counts (PmfThinGoldenSpec) are sensitive to float32 window-boundary
+  * and keep-test membership.
   *
   * Unknown filter names warn and pass through, like the reference's
   * PCL_WARN + skip (PCLPipeline.hpp:668-669). `pipeline.tile_size`
@@ -178,6 +179,13 @@ object PclBlock {
           concat(lit("voxel_"), shiftright(col("__vid"), 31).cast("string")).as("doc_id"),
           (col("__vid").bitwiseAND(0x7fffffffL)).cast("int").as("span_idx"),
           col("x"), col("y"), col("z"))
+          // PIN the nondeterministic ids: a downstream neighbor filter
+          // evaluates this frame from two plans (its checkpointed slim
+          // projection AND the final identity join); without an eager
+          // checkpoint the aggregate re-runs and
+          // monotonically_increasing_id re-assigns, so the join legs
+          // could disagree on which id names which centroid
+          .localCheckpoint(true)
 
       case "gridminimum" =>
         AggOps.gridMinimum(dbl("setResolution", 1.0))(df).drop("gx", "gy")
@@ -192,7 +200,12 @@ object PclBlock {
           maxDistance = dbl("setMaxDistance", 2.5),
           base = dbl("setBase", 2.0),
           exponential = bool("setExponential", true),
-          floatSchedule = true) // PCL emulation: float32 ladder + diff
+          // PCL emulation (float32 ladder + diff) — honored by the
+          // EXACT branch; the grid/approximate branch is the engine's
+          // own raster variant (the reference's APMF is unvalidated —
+          // its own test is disabled as crashing,
+          // PCLBlockFilterTest.cpp:138-143) and stays double
+          floatSchedule = !name.toLowerCase.startsWith("approximate"))
         val negative = bool("setNegative", false)
         // PCL's PointXYZ cloud carries NO classification dim — the PMF
         // verdict must not be confused with a pre-existing

@@ -300,21 +300,25 @@ object Pipeline {
         AggOps.gridMinimum(st.dbl("cell").getOrElse(1.0))(in.get)
       case "filters.hexbin" =>
         // reference option surface (HexBin.cpp:54-74): edge_length with
-        // edge_size as the legacy alias; edge absent/0 -> estimate from
-        // a sample (hexer's sample-based sizing is in the external
-        // hexer lib; the engine's documented estimator is the mean
-        // nearest-axis spacing of a deterministic sample, scaled like a
-        // density-matched hex: edge ~ sqrt(area / n) * 2)
+        // edge_size as the legacy alias; edge absent/0 -> estimated.
+        // hexer's sample-based sizing lives in the external hexer lib;
+        // the engine's documented estimator is density-matched sizing
+        // edge = 2*sqrt(bbox_area / n) over the FULL frame (one
+        // aggregate) — deterministic and partition-invariant, unlike a
+        // limit()-sample; sample_size is accepted for spec compat but
+        // exact stats make it unnecessary
         val edgeOpt = st.dbl("edge_length").orElse(st.dbl("edge_size"))
           .orElse(st.dbl("edge")).filter(_ != 0.0)
         val edge = edgeOpt.getOrElse {
-          val sample = st.int("sample_size").getOrElse(5000)
-          val s = in.get.select(col("x"), col("y")).limit(sample)
+          val s = in.get
             .agg(min("x"), max("x"), min("y"), max("y"), count(lit(1))).head()
-          val n = math.max(s.getLong(4), 1L)
-          val area = math.max((s.getDouble(1) - s.getDouble(0)) *
-            (s.getDouble(3) - s.getDouble(2)), 1e-12)
-          2.0 * math.sqrt(area / n.toDouble)
+          if (s.isNullAt(0)) 10.0 // empty input: any edge yields an empty grid
+          else {
+            val n = math.max(s.getLong(4), 1L)
+            val area = math.max((s.getDouble(1) - s.getDouble(0)) *
+              (s.getDouble(3) - s.getDouble(2)), 1e-12)
+            2.0 * math.sqrt(area / n.toDouble)
+          }
         }
         TileOps.hexDensity(edge)(in.get)
       case "filters.reprojection" =>

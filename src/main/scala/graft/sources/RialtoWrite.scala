@@ -156,9 +156,23 @@ object RialtoWrite {
       case ShortType => "int16_t"; case ByteType => "int8_t"
       case other => other.simpleString
     }
+    // PDAL-unsigned dims get the unsigned name AT THE PACKED WIDTH —
+    // the datatype must describe the record bytes actually written
+    // (this engine widens unsigned LAS fields on decode, so e.g.
+    // classification packs 2 bytes here: uint16_t, not the reference's
+    // uint8_t — same non-negative values, self-consistent layout)
+    val unsignedDims = Set("intensity", "classification", "red", "green",
+      "blue", "user_data", "point_source_id", "return_number",
+      "number_of_returns", "offset_time")
+    def typeName(n0: String, dt: DataType): String =
+      if (unsignedDims.contains(n0)) dt match {
+        case LongType => "uint64_t"; case IntegerType => "uint32_t"
+        case ShortType => "uint16_t"; case ByteType => "uint8_t"
+        case other => pdalType(other) // float/double stay as packed
+      } else pdalType(dt)
     val dimJson = valueCols.zip(dimStats).map { case ((n0, dt), (_, mn, mean, mx)) =>
       val n = pdalName(n0)
-      val tn = pdalType(dt)
+      val tn = typeName(n0, dt)
       s"""        {
          |            "datatype": "$tn",
          |            "name": "$n",
